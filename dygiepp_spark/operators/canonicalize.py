@@ -1,0 +1,88 @@
+"""Entity linking + canonicalization (north-star extension; not in the
+reference — SURVEY.md §7 phase 3).
+
+Mentions are linked against a broadcast alias dictionary; unlinked surfaces
+fall back to a deterministic surface-derived id. Canonical (subj, pred,
+obj) triples are the deduplicated rewrite of the extracted triples.
+
+Scale: the alias dictionary is small by construction → explicit
+``F.broadcast`` so the link join never shuffles the triple table; the final
+dedup is one partial-agg shuffle on the canonical triple key, partitioned by
+hash — skewed predicates are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Deliberate merges + collisions (FIXTURES.md §4): two surfaces → one id.
+ALIASES: dict[str, str] = {
+    "row": "ENT_RECORD",
+    "line": "ENT_RECORD",
+    "data": "ENT_DATASET",
+    "stream": "ENT_DATASET",
+    "order": "ENT_ORDER",
+    "customer": "ENT_CUSTOMER",
+}
+
+
+def alias_dict(spark: SparkSession) -> DataFrame:
+    rows = [(k, v) for k, v in sorted(ALIASES.items())]
+    return spark.createDataFrame(rows, "surface_form string, canonical_id string")
+
+
+def link_surface(df: DataFrame, surface_col: str, out_col: str, aliases: DataFrame) -> DataFrame:
+    """Broadcast-join entity link: alias hit → canonical_id, miss →
+    'ENT_' + upper(surface) (case-insensitive match)."""
+    a = aliases.select(
+        F.lower(F.col("surface_form")).alias("_sf"), F.col("canonical_id").alias("_cid")
+    )
+    return (
+        df.join(F.broadcast(a), F.lower(F.col(surface_col)) == F.col("_sf"), "left")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col("_cid"),
+                F.concat(F.lit("ENT_"), F.upper(F.regexp_replace(surface_col, " ", "_"))),
+            ),
+        )
+        .drop("_sf", "_cid")
+    )
+
+
+def canonical_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Rewrite triples to canonical ids and deduplicate with support counts."""
+    linked = link_surface(triples, "subj_surface", "subj_canonical", aliases)
+    linked = link_surface(linked, "obj_surface", "obj_canonical", aliases)
+    return (
+        linked.groupBy("subj_canonical", "pred", "obj_canonical")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_support"))
+    )
+
+
+def canonicalize_with_coref(
+    triples: DataFrame, clusters: DataFrame, aliases: DataFrame
+) -> DataFrame:
+    """Full north-star canonicalization: components over (coref ∪ alias)
+    evidence. A mention inherits its coref cluster's canonical id — the id
+    of the cluster-representative surface (min doc_pos member) — then alias
+    linking applies on top. Conversation-local rewrite, global dedup."""
+    rep = clusters.groupBy("conv_id", "cluster_id").agg(
+        F.min_by("surface", "doc_pos").alias("rep_surface")
+    )
+    members = clusters.join(rep, on=["conv_id", "cluster_id"]).select(
+        "conv_id", "turn_idx", "start", F.col("rep_surface")
+    )
+    t = triples
+    for side in ("subj", "obj"):
+        m = members.select(
+            "conv_id",
+            "turn_idx",
+            F.col("start").alias(f"{side}_start"),
+            F.col("rep_surface").alias(f"_{side}_rep"),
+        )
+        t = t.join(m, on=["conv_id", "turn_idx", f"{side}_start"], how="left")
+        t = t.withColumn(
+            f"{side}_surface", F.coalesce(F.col(f"_{side}_rep"), F.col(f"{side}_surface"))
+        ).drop(f"_{side}_rep")
+    return canonical_triples(t, aliases)

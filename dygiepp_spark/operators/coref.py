@@ -1,0 +1,114 @@
+"""Within-document coreference: antecedent decode + cluster formation
+(SURVEY.md §2 D7-D10, E3-E4).
+
+Rule model (stand-in for the learned antecedent scorer): a mention's
+antecedent is the nearest PREVIOUS mention with the same surface form in
+the same conversation. Like the reference decode (coref.py:332-342) each
+mention selects at most one antecedent, so the edge set is a forest and
+greedy cluster formation (coref.py:387-459) equals connected components —
+the equivalence is pinned by a pytest.
+
+Coordinates: mentions are flattened to doc-level positions via the B1
+sentence offsets (reference coref.py:671-689 flattens with cumsum_shifted).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dygiepp_spark.operators.assembly import with_sentence_starts
+from dygiepp_spark.operators.extract import ner_mentions
+
+# node ids are conv-local strings "conv_id#<zero-padded doc position>" so
+# lexicographic min == positional min and components never cross convs.
+_POS_PAD = 9
+
+
+def _node_id(conv, doc_pos):
+    return F.concat_ws("#", conv, F.lpad(doc_pos.cast("string"), _POS_PAD, "0"))
+
+
+def coref_mentions(turns: DataFrame) -> DataFrame:
+    """Single-token entity mentions with doc-level positions (D7)."""
+    m = ner_mentions(turns, include_modifier_spans=False)
+    starts = with_sentence_starts(turns).select("conv_id", "turn_idx", "sentence_start")
+    return m.join(starts, on=["conv_id", "turn_idx"]).withColumn(
+        "doc_pos", (F.col("sentence_start") + F.col("start")).cast("bigint")
+    )
+
+
+def antecedent_edges(mentions: DataFrame) -> DataFrame:
+    """E3 stand-in decode — one edge per mention to its nearest previous
+    same-surface mention (NULL-antecedent mentions emit no edge)."""
+    w = Window.partitionBy("conv_id", "surface").orderBy("doc_pos")
+    return (
+        mentions.withColumn("ant_doc_pos", F.lag("doc_pos").over(w))
+        .where(F.col("ant_doc_pos").isNotNull())
+        .select("conv_id", "doc_pos", "ant_doc_pos")
+    )
+
+
+def clusters_via_components(turns: DataFrame) -> DataFrame:
+    """E4 — cluster formation as distributed connected components.
+
+    Returns (conv_id, cluster_id, turn_idx, start, end, surface) where
+    cluster_id = min doc-position of the cluster; singleton mentions are
+    dropped (reference emits only clusters with ≥2 members — a cluster is a
+    list of ≥1 antecedent link)."""
+    from dygiepp_spark.operators.graph import connected_components
+
+    mentions = coref_mentions(turns)
+    edges = antecedent_edges(mentions)
+    e = edges.select(
+        _node_id(F.col("conv_id"), F.col("doc_pos")).alias("src"),
+        _node_id(F.col("conv_id"), F.col("ant_doc_pos")).alias("dst"),
+    )
+    comp = connected_components(e, "src", "dst")
+    nodes = mentions.withColumn(
+        "node", _node_id(F.col("conv_id"), F.col("doc_pos"))
+    )
+    return (
+        nodes.join(comp, on="node", how="inner")  # inner: singletons drop out
+        .select(
+            "conv_id",
+            F.split(F.col("component"), "#")[1].cast("bigint").alias("cluster_id"),
+            "turn_idx",
+            "start",
+            "end",
+            "surface",
+            "doc_pos",
+        )
+    )
+
+
+def clusters_via_greedy(turns: DataFrame) -> DataFrame:
+    """E4 twin — the reference's sequential greedy walk, per conversation,
+    inside applyInPandas (document-at-a-time exactly like the reference;
+    used to prove CC equivalence, SURVEY.md §7 hard-part 3)."""
+    mentions = coref_mentions(turns)
+    edges = antecedent_edges(mentions).withColumnRenamed("doc_pos", "m_doc_pos")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m_doc_pos")
+        cluster_of: dict[int, int] = {}
+        for m, a in zip(pdf["m_doc_pos"], pdf["ant_doc_pos"]):
+            # greedy: antecedent already clustered → join; else new cluster
+            cid = cluster_of.get(a)
+            if cid is None:
+                cid = a
+                cluster_of[a] = cid
+            cluster_of[m] = cid
+        out = pd.DataFrame(
+            {"doc_pos": list(cluster_of.keys()), "cluster_id": list(cluster_of.values())}
+        )
+        out["conv_id"] = pdf["conv_id"].iloc[0]
+        return out[["conv_id", "doc_pos", "cluster_id"]]
+
+    assigned = edges.groupBy("conv_id").applyInPandas(
+        walk, schema="conv_id string, doc_pos long, cluster_id long"
+    )
+    return mentions.join(assigned, on=["conv_id", "doc_pos"], how="inner").select(
+        "conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"
+    )

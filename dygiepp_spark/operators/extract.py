@@ -1,0 +1,272 @@
+"""Column-expression extraction heads (the deterministic stand-in model).
+
+These implement the decode semantics of the reference's four task heads
+(reference: ner.py:125-150, relation.py:149-180, events.py:341-400,
+coref.py:332-459) with the deterministic lexicon model from
+``functions.lexicons``, entirely as JVM-side column expressions — the
+oracle-checkable twin of the batched pandas-UDF inference path
+(``dygiepp_spark.inference``). A pytest asserts both paths emit identical
+triples (SURVEY.md §7 hard-part 5).
+
+All outputs carry (raw_score, softmax_score) per prediction, mirroring the
+reference's predicted_* format (doc/data.md:108-116).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dygiepp_spark.config import PipelineConfig
+from dygiepp_spark.functions import scoring
+from dygiepp_spark.functions.lexicons import ENTITY_TYPES, MODIFIERS, PREDICATES
+from dygiepp_spark.tables import tokens_view
+
+_ENTITY_MAP_ITEMS = sorted(ENTITY_TYPES.items())
+
+
+def _entity_label(col):
+    """token → entity type label (NULL if not an entity)."""
+    expr = F.lit(None).cast("string")
+    for tok, lab in reversed(_ENTITY_MAP_ITEMS):
+        expr = F.when(col == tok, F.lit(lab)).otherwise(expr)
+    return expr
+
+
+def _with_scores(df: DataFrame) -> DataFrame:
+    width = F.col("end") - F.col("start") + 1
+    return df.withColumn(
+        "raw_score", scoring.raw_score_col(F.col("surface"), width)
+    ).withColumn("softmax_score", scoring.softmax_score_col(F.col("surface"), width))
+
+
+def entity_tokens(turns: DataFrame) -> DataFrame:
+    """One row per entity-lexicon token occurrence."""
+    toks = tokens_view(turns)
+    return toks.withColumn("label", _entity_label(F.col("token"))).where(
+        F.col("label").isNotNull()
+    )
+
+
+def ner_mentions(turns: DataFrame, include_modifier_spans: bool = True) -> DataFrame:
+    """E1 — decoded NER mentions.
+
+    Rule model: every entity-lexicon token is a width-1 mention typed by the
+    lexicon; a modifier immediately followed by an entity token forms a
+    width-2 mention with the entity's type (this exercises multi-token spans
+    and the overlap-merge operator downstream).
+    """
+    toks = tokens_view(turns)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
+    toks2 = toks.withColumn("next_token", F.lead("token").over(w))
+
+    singles = toks2.withColumn("label", _entity_label(F.col("token"))).where(
+        F.col("label").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").alias("start"),
+        F.col("pos").alias("end"),
+        "label",
+        F.col("token").alias("surface"),
+    )
+    if not include_modifier_spans:
+        return _with_scores(singles)
+
+    pairs = (
+        toks2.where(F.col("token").isin(list(MODIFIERS)))
+        .withColumn("label", _entity_label(F.col("next_token")))
+        .where(F.col("label").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("pos").alias("start"),
+            (F.col("pos") + 1).cast("int").alias("end"),
+            "label",
+            F.concat_ws(" ", F.col("token"), F.col("next_token")).alias("surface"),
+        )
+    )
+    return _with_scores(singles.unionByName(pairs))
+
+
+def predicate_tokens(turns: DataFrame) -> DataFrame:
+    """Trigger/predicate token occurrences."""
+    return tokens_view(turns).where(F.col("token").isin(list(PREDICATES)))
+
+
+def relation_triples(turns: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """E2 — the triple emitter: (subj_span, pred_label, obj_span).
+
+    Rule model: for each ordered pair of single-token entity mentions in the
+    same turn with 1 ≤ obj.pos − subj.pos ≤ max_pair_distance, emit a triple
+    iff a predicate token lies strictly between them; the predicate is the
+    earliest such token (deterministic tie-break). Matches the reference's
+    relation arity/within-sentence constraint (doc/data.md:44-51).
+
+    Scale: self-join + predicate join are all equi-joins on
+    (conv_id, turn_idx) with bounded range predicates — partition-local
+    after one hash shuffle; AQE handles skewed conversations.
+    """
+    cfg = cfg or PipelineConfig()
+    ents = entity_tokens(turns).select(
+        "conv_id", "turn_idx", "pos", "token", "label"
+    )
+    subj = ents.select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").alias("subj_start"),
+        F.col("token").alias("subj_surface"),
+    )
+    obj = ents.select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").alias("obj_start"),
+        F.col("token").alias("obj_surface"),
+    )
+    preds = predicate_tokens(turns).select(
+        "conv_id", "turn_idx", F.col("pos").alias("pred_pos"), F.col("token").alias("pred_tok")
+    )
+    pairs = subj.join(obj, on=["conv_id", "turn_idx"]).where(
+        (F.col("obj_start") > F.col("subj_start"))
+        & (F.col("obj_start") - F.col("subj_start") <= cfg.max_pair_distance)
+    )
+    joined = pairs.join(preds, on=["conv_id", "turn_idx"]).where(
+        (F.col("pred_pos") > F.col("subj_start")) & (F.col("pred_pos") < F.col("obj_start"))
+    )
+    w = Window.partitionBy(
+        "conv_id", "turn_idx", "subj_start", "obj_start"
+    ).orderBy("pred_pos")
+    best = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    out = best.select(
+        "conv_id",
+        "turn_idx",
+        F.col("subj_start").cast("int"),
+        F.col("subj_start").cast("int").alias("subj_end"),
+        "subj_surface",
+        F.upper(F.col("pred_tok")).alias("pred"),
+        F.col("obj_start").cast("int"),
+        F.col("obj_start").cast("int").alias("obj_end"),
+        "obj_surface",
+    )
+    pair_surface = F.concat_ws(" ", F.col("subj_surface"), F.col("obj_surface"))
+    pair_width = (F.col("obj_start") - F.col("subj_start") + 1).cast("int")
+    return out.withColumn(
+        "raw_score", scoring.raw_score_col(pair_surface, pair_width)
+    ).withColumn("softmax_score", scoring.softmax_score_col(pair_surface, pair_width))
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """North-star triple dedup: distinct (subj, pred, obj) surfaces with
+    support counts. Partial aggregation (map-side combine) makes this a
+    single shuffle on the triple key at any scale."""
+    return (
+        triples.groupBy(
+            F.col("subj_surface").alias("subj"),
+            F.col("pred"),
+            F.col("obj_surface").alias("obj"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_support"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )
+
+
+def event_triggers(turns: DataFrame) -> DataFrame:
+    """E5 — decoded triggers: single-token, typed by the lexicon
+    (reference events.py:341-357; triggers are single tokens per
+    doc/data.md:64-78)."""
+    preds = predicate_tokens(turns)
+    return preds.select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("int").alias("trigger_ix"),
+        F.upper(F.col("token")).alias("event_type"),
+        scoring.raw_score_col(F.col("token"), F.lit(1)).alias("raw_score"),
+        scoring.softmax_score_col(F.col("token"), F.lit(1)).alias("softmax_score"),
+    )
+
+
+def event_arguments(turns: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """E6 — decoded (trigger, argument) pairs, gated on the trigger having
+    decoded non-null (reference events.py:359-382: arguments of null
+    triggers are dropped).
+
+    Rule model: arguments are entity tokens within max_arg_distance of the
+    trigger; role = ARG_BEFORE / ARG_AFTER by side. Distance features mirror
+    the reference's trigger-argument embedding distances
+    (events.py:222-266)."""
+    cfg = cfg or PipelineConfig()
+    trig = event_triggers(turns).select("conv_id", "turn_idx", "trigger_ix", "event_type")
+    ents = entity_tokens(turns).select(
+        "conv_id", "turn_idx", F.col("pos").cast("int").alias("arg_pos"),
+        F.col("token").alias("arg_surface"),
+    )
+    joined = trig.join(ents, on=["conv_id", "turn_idx"]).where(
+        (F.abs(F.col("arg_pos") - F.col("trigger_ix")) <= cfg.max_arg_distance)
+        & (F.col("arg_pos") != F.col("trigger_ix"))
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "trigger_ix",
+        "event_type",
+        F.col("arg_pos").alias("arg_start"),
+        F.col("arg_pos").alias("arg_end"),
+        "arg_surface",
+        F.when(F.col("arg_pos") < F.col("trigger_ix"), F.lit("ARG_BEFORE"))
+        .otherwise(F.lit("ARG_AFTER"))
+        .alias("role"),
+    )
+
+
+def assemble_events(arguments: DataFrame) -> DataFrame:
+    """E7 — group arguments under their trigger, args sorted by span start
+    (reference events.py:384-400)."""
+    return (
+        arguments.groupBy("conv_id", "turn_idx", "trigger_ix", "event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("arg_start").alias("start"),
+                        F.col("arg_end").alias("end"),
+                        F.col("role"),
+                    )
+                )
+            ).alias("args")
+        )
+    )
+
+
+def overlap_merge(mentions: DataFrame) -> DataFrame:
+    """E9 — merge overlapping mentions into islands, keep the longest
+    (earliest on ties), mirroring the reference's spaCy-compat overlap
+    resolution (spacy_interface.py:69-105).
+
+    Classic island detection: running max of `end` over spans ordered by
+    (start, end); a span opens a new island iff its start exceeds every
+    previous end; island id = count of opens so far.
+    """
+    w_order = Window.partitionBy("conv_id", "turn_idx").orderBy("start", "end")
+    prev_max_end = F.max("end").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = mentions.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("_new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_island = Window.partitionBy("conv_id", "turn_idx", "island").orderBy(
+        (F.col("end") - F.col("start")).desc(), F.col("start"), F.col("end"), F.col("label")
+    )
+    return (
+        flagged.withColumn("_rn", F.row_number().over(w_island))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_new_island", "island")
+    )

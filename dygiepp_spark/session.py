@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target deployment (multi-executor cluster, ~10^12 turns) but
+testable on local[N]. Every knob here is a plain Spark conf so the same code
+ships via ``spark-submit --py-files`` unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the engine's workload shape:
+# - AQE on: runtime coalescing of post-shuffle partitions + skew-join
+#   splitting (mega-conversations are the known skew source, SURVEY.md §4).
+# - Arrow on + bounded batch size: all model inference flows through
+#   pandas/Arrow UDFs; batch size caps peak Python-worker memory the same
+#   way the reference caps spans-per-document in its collator
+#   (reference: scripts/data/shared/collate.py:33-40).
+# - shuffle partitions: overridden per-session; on a real cluster this is
+#   sized to ~2-3x total cores with AQE coalescing down.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "dygiepp_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores) so bench harnesses can pin parallelism for scaling runs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
