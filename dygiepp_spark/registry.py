@@ -1,0 +1,583 @@
+"""Query registry: every implemented operator as a (Spark builder, DuckDB
+oracle SQL) pair for the driver's correctness gate.
+
+Builders take (spark, sf_dir) and return a DataFrame; the SQL twin runs on
+DuckDB views over the same parquet. Column names/types are aligned on both
+sides (ints → BIGINT) because the gate hashes values under sorted column
+names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dygiepp_spark.config import PipelineConfig
+from dygiepp_spark.functions import scoring
+from dygiepp_spark.functions.lexicons import ENTITY_TYPES, PREDICATES
+from dygiepp_spark.operators import assembly, canonicalize, coref, extract, metrics, pruning, spans
+from dygiepp_spark.oracle_sql import q, raw_score
+from dygiepp_spark.tables import read_turns
+
+CFG = PipelineConfig()
+
+
+def _longs(df: DataFrame) -> DataFrame:
+    """Cast every 32-bit int column to long (DuckDB ints are int64)."""
+    for name, dtype in df.dtypes:
+        if dtype == "int":
+            df = df.withColumn(name, F.col(name).cast("bigint"))
+    return df
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → driver records a rows-only check
+
+
+def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_turns(spark, sf_dir=sf_dir)
+
+
+def _scored_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = spans.enumerate_spans(_turns(spark, sf_dir), CFG)
+    return sp.withColumn(
+        "raw_score", scoring.raw_score_col(F.col("surface"), F.col("width"))
+    )
+
+
+# ---------------------------------------------------------------- builders
+
+def doc_assembly_offsets(spark, sf_dir):
+    """B1 — window-cumsum sentence offsets (document.py:114-118)."""
+    out = assembly.with_sentence_starts(_turns(spark, sf_dir))
+    return _longs(out.select("conv_id", "turn_idx", "n_tokens", "sentence_start"))
+
+
+def turns_roundtrip(spark, sf_dir):
+    """B2 — assemble → explode returns the original turns (per-turn text
+    equality invariant, document_test.py:36-56)."""
+    docs = assembly.assemble_documents(_turns(spark, sf_dir))
+    back = assembly.explode_documents(docs)
+    return _longs(back.select("conv_id", "turn_idx", "text", "role"))
+
+
+def span_enum(spark, sf_dir):
+    """C1 — bounded span enumeration (dygie.py:122-126)."""
+    out = spans.enumerate_spans(_turns(spark, sf_dir), CFG)
+    return _longs(out.select("conv_id", "turn_idx", "start", "end", "width", "surface"))
+
+
+def span_enum_counts(spark, sf_dir):
+    out = spans.enumerate_spans(_turns(spark, sf_dir), CFG)
+    return _longs(
+        out.groupBy("conv_id", "turn_idx").agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+def ner_mentions(spark, sf_dir):
+    """E1 — decoded NER mentions with scores (ner.py:125-150)."""
+    return _longs(extract.ner_mentions(_turns(spark, sf_dir)))
+
+
+def ner_align_counts(spark, sf_dir):
+    """C3 — gold-label alignment onto enumerated spans (dygie.py:59-68)."""
+    t = _turns(spark, sf_dir)
+    sp = spans.enumerate_spans(t, CFG)
+    gold = extract.ner_mentions(t, include_modifier_spans=False)
+    aligned = spans.align_ner_labels(sp, gold)
+    return _longs(
+        aligned.groupBy("conv_id", "turn_idx").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("gold_label") != "", 1).otherwise(0)).alias("n_labeled"),
+        )
+    )
+
+
+def prune_topk(spark, sf_dir):
+    """D4 — beam pruning with order restore (entity_beam_pruner.py:55-192)."""
+    pruned = pruning.prune_topk(
+        _scored_spans(spark, sf_dir), CFG.relation_spans_per_word, min_keep=1
+    )
+    return _longs(
+        pruned.select(
+            "conv_id", "turn_idx", "start", "end", "surface",
+            "raw_score", "beam_rank", "span_order",
+        )
+    )
+
+
+def relation_triples(spark, sf_dir):
+    """E2 — the triple emitter (relation.py:149-180)."""
+    return _longs(extract.relation_triples(_turns(spark, sf_dir), CFG))
+
+
+def triple_dedup(spark, sf_dir):
+    """North-star dedup: distinct (subj, pred, obj) + support."""
+    return _longs(extract.dedup_triples(extract.relation_triples(_turns(spark, sf_dir), CFG)))
+
+
+def coref_clusters(spark, sf_dir):
+    """E4 — clusters via distributed connected components (coref.py:387-459)."""
+    out = coref.clusters_via_components(_turns(spark, sf_dir))
+    return _longs(out.select("conv_id", "cluster_id", "turn_idx", "start", "end", "surface"))
+
+
+def canonical_triples(spark, sf_dir):
+    """Entity linking + canonical triple materialization (north star)."""
+    t = extract.relation_triples(_turns(spark, sf_dir), CFG)
+    return _longs(canonicalize.canonical_triples(t, canonicalize.alias_dict(spark)))
+
+
+def event_triggers(spark, sf_dir):
+    """E5 — trigger decode (events.py:341-357)."""
+    return _longs(extract.event_triggers(_turns(spark, sf_dir)))
+
+
+def event_arguments(spark, sf_dir):
+    """E6 — argument decode gated on decoded triggers (events.py:359-382)."""
+    return _longs(extract.event_arguments(_turns(spark, sf_dir), CFG))
+
+
+def event_arg_stats(spark, sf_dir):
+    """E7 — per-trigger assembly stats (events.py:384-400)."""
+    args = extract.event_arguments(_turns(spark, sf_dir), CFG)
+    return _longs(
+        args.groupBy("conv_id", "turn_idx", "trigger_ix", "event_type").agg(
+            F.count(F.lit(1)).alias("n_args"),
+            F.min("arg_start").alias("first_arg_start"),
+            F.max("arg_end").alias("last_arg_end"),
+        )
+    )
+
+
+def overlap_merge(spark, sf_dir):
+    """E9 — overlapping mentions merged to longest (spacy_interface.py:69-105)."""
+    merged = extract.overlap_merge(extract.ner_mentions(_turns(spark, sf_dir)))
+    return _longs(merged.select("conv_id", "turn_idx", "start", "end", "label", "surface"))
+
+
+def ner_metrics(spark, sf_dir):
+    """F1/F2 — micro P/R/F1, pred (incl. modifier spans) vs gold (singles)."""
+    t = _turns(spark, sf_dir)
+    pred = extract.ner_mentions(t, include_modifier_spans=True).where(
+        ~F.col("surface").isin("vector", "stream")
+    )
+    gold = extract.ner_mentions(t, include_modifier_spans=False)
+    return metrics.micro_prf(
+        pred, gold, ["conv_id", "turn_idx", "start", "end", "label"], task="ner"
+    )
+
+
+def relation_metrics(spark, sf_dir):
+    """F3 — triple-match P/R (relation_metrics.py:19-27, README.md:419-424):
+    pred at pair distance 5 vs gold at distance 4."""
+    t = _turns(spark, sf_dir)
+    pred = extract.relation_triples(t, PipelineConfig(max_pair_distance=5))
+    gold = extract.relation_triples(t, PipelineConfig(max_pair_distance=4))
+    keys = ["conv_id", "turn_idx", "subj_start", "subj_end", "pred", "obj_start", "obj_end"]
+    return metrics.micro_prf(pred, gold, keys, task="relation")
+
+
+def antecedent_stats(spark, sf_dir):
+    """D8 — bounded antecedent candidate windows over the pruned coref beam
+    (coref.py:471-526)."""
+    pruned = pruning.prune_topk(
+        _scored_spans(spark, sf_dir), CFG.coref_spans_per_word, min_keep=CFG.coref_min_keep
+    )
+    pairs = pruning.antecedent_pairs(pruned, CFG.max_antecedents)
+    return _longs(
+        pairs.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("offset").alias("max_offset"),
+            F.countDistinct("doc_rank").alias("n_spans_with_antecedents"),
+        )
+    )
+
+
+def distance_bucket_hist(spark, sf_dir):
+    """D9/D12 — log-bucketed distance feature histogram (util.bucket_values)."""
+    pruned = pruning.prune_topk(
+        _scored_spans(spark, sf_dir), CFG.coref_spans_per_word, min_keep=CFG.coref_min_keep
+    )
+    pairs = pruning.antecedent_pairs(pruned, CFG.max_antecedents)
+    return _longs(
+        pairs.withColumn("bucket", pruning.distance_bucket("offset"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def doc_split(spark, sf_dir):
+    """B5 — long-document split into token-bounded chunks (document.py:197-251)."""
+    out = assembly.split_documents(_turns(spark, sf_dir), PipelineConfig(max_tokens_per_doc=200))
+    return _longs(out.select("conv_id", "turn_idx", "chunk_id", "split_key"))
+
+
+def length_guard(spark, sf_dir):
+    """B9 — single-token / encoder-limit guards (dygie.py:190-195)."""
+    out = assembly.length_guard(_turns(spark, sf_dir), max_tokens=64)
+    return _longs(
+        out.select("conv_id", "turn_idx", "n_tokens", "is_single_token", "exceeds_encoder_limit")
+    )
+
+
+def span_locate(spark, sf_dir):
+    """B3 — doc-level span → containing turn via range join; cross-turn spans
+    dropped (document.py:18-29, 685-689). Input spans are width-2 spans at
+    each entity mention's doc position, so some cross turn boundaries."""
+    t = _turns(spark, sf_dir)
+    m = coref.coref_mentions(t)
+    doc_spans = m.select(
+        "conv_id",
+        F.col("doc_pos").alias("start"),
+        (F.col("doc_pos") + 1).alias("end"),
+    )
+    out = assembly.locate_spans(doc_spans, t)
+    return _longs(
+        out.select("conv_id", "turn_idx", "rel_start", "rel_end", "doc_start", "doc_end")
+    )
+
+
+def label_vocab(spark, sf_dir):
+    """Label vocabulary with null label at index 0 (ner.py:49-51)."""
+    t = _turns(spark, sf_dir)
+    ner = extract.ner_mentions(t).select(F.lit("ner").alias("task"), F.col("label"))
+    rel = extract.relation_triples(t, CFG).select(
+        F.lit("relation").alias("task"), F.col("pred").alias("label")
+    )
+    ev = extract.event_triggers(t).select(
+        F.lit("events").alias("task"), F.col("event_type").alias("label")
+    )
+    nulls = spark.createDataFrame(
+        [("ner", ""), ("relation", ""), ("events", "")], "task string, label string"
+    )
+    from pyspark.sql import Window
+
+    vocab = ner.unionByName(rel).unionByName(ev).distinct().unionByName(nulls)
+    w = Window.partitionBy("task").orderBy("label")  # '' sorts first
+    return _longs(
+        vocab.withColumn("label_ix", F.row_number().over(w) - 1).select(
+            F.lit("transcripts").alias("dataset"), "task", "label", "label_ix"
+        )
+    )
+
+
+def multi_dataset_union(spark, sf_dir):
+    """Multi-dataset union with per-dataset namespaces (doc/model.md:65-99):
+    conversations are routed to a dataset by conv_id parity."""
+    m = extract.ner_mentions(_turns(spark, sf_dir), include_modifier_spans=False)
+    tagged = m.withColumn(
+        "dataset",
+        F.when(F.col("conv_id").cast("bigint") % 2 == 0, F.lit("transcripts_even"))
+        .otherwise(F.lit("transcripts_odd")),
+    )
+    return _longs(tagged.select("dataset", "conv_id", "turn_idx", "start", "end", "label"))
+
+
+# ----------------------------------------------------------------- oracle SQL
+
+_B = "BIGINT"
+
+_SQL: dict[str, str] = {
+    "doc_assembly_offsets": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(n_tokens AS {_B}) AS n_tokens,
+               CAST(sentence_start AS {_B}) AS sentence_start
+        FROM starts"""
+    ),
+    "turns_roundtrip": q(
+        f"SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx, text, role FROM turns"
+    ),
+    "span_enum": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end",
+               CAST(width AS {_B}) AS width, surface
+        FROM span_surf"""
+    ),
+    "span_enum_counts": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx, COUNT(*) AS n_spans
+        FROM spans GROUP BY conv_id, turn_idx"""
+    ),
+    "ner_mentions": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end",
+               label, surface, raw_score, softmax_score
+        FROM mentions"""
+    ),
+    "ner_align_counts": q(
+        f"""SELECT s.conv_id, CAST(s.turn_idx AS {_B}) AS turn_idx,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN g.label IS NOT NULL THEN 1 ELSE 0 END) AS n_labeled
+        FROM span_surf s
+        LEFT JOIN singles g
+          ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
+         AND s.start = g.start AND s."end" = g."end"
+        GROUP BY s.conv_id, s.turn_idx"""
+    ),
+    "prune_topk": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end",
+               surface, raw_score,
+               CAST(beam_rank AS {_B}) AS beam_rank,
+               CAST(row_number() OVER (
+                 PARTITION BY conv_id, turn_idx ORDER BY start, "end") AS {_B}) AS span_order
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY conv_id, turn_idx
+                   ORDER BY raw_score DESC, start, "end") AS beam_rank
+          FROM (SELECT *, {raw_score('surface', 'width')} AS raw_score FROM span_surf)
+        )
+        WHERE beam_rank <= GREATEST(1, CAST(CEIL(0.5 * n_tokens) AS {_B}))"""
+    ),
+    "relation_triples": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               subj_start, subj_end, subj_surface, pred,
+               obj_start, obj_end, obj_surface, raw_score, softmax_score
+        FROM triples"""
+    ),
+    "triple_dedup": q(
+        """SELECT subj_surface AS subj, pred, obj_surface AS obj,
+               COUNT(*) AS n_support, COUNT(DISTINCT conv_id) AS n_convs
+        FROM triples GROUP BY 1, 2, 3"""
+    ),
+    "coref_clusters": q(
+        f"""SELECT conv_id, cluster_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end", surface
+        FROM clusters"""
+    ),
+    "canonical_triples": q(
+        """SELECT COALESCE(sa.canonical_id, 'ENT_' || upper(replace(t.subj_surface, ' ', '_'))) AS subj_canonical,
+               t.pred,
+               COALESCE(oa.canonical_id, 'ENT_' || upper(replace(t.obj_surface, ' ', '_'))) AS obj_canonical,
+               COUNT(*) AS n_support
+        FROM triples t
+        LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
+        LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
+        GROUP BY 1, 2, 3"""
+    ),
+    "event_triggers": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(pos AS {_B}) AS trigger_ix, upper(token) AS event_type,
+               {raw_score('token', '1')} AS raw_score,
+               (((length(token) * 7 + 3) % 16) / 32.0 + 0.5) AS softmax_score
+        FROM preds"""
+    ),
+    "event_arguments": q(
+        f"""SELECT tr.conv_id, CAST(tr.turn_idx AS {_B}) AS turn_idx,
+               CAST(tr.pos AS {_B}) AS trigger_ix, upper(tr.token) AS event_type,
+               CAST(s.start AS {_B}) AS arg_start, CAST(s."end" AS {_B}) AS arg_end,
+               s.surface AS arg_surface,
+               CASE WHEN s.start < tr.pos THEN 'ARG_BEFORE' ELSE 'ARG_AFTER' END AS role
+        FROM preds tr
+        JOIN singles s ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+        WHERE abs(s.start - tr.pos) <= {CFG.max_arg_distance} AND s.start != tr.pos"""
+    ),
+    "event_arg_stats": q(
+        f"""SELECT tr.conv_id, CAST(tr.turn_idx AS {_B}) AS turn_idx,
+               CAST(tr.pos AS {_B}) AS trigger_ix, upper(tr.token) AS event_type,
+               COUNT(*) AS n_args,
+               CAST(MIN(s.start) AS {_B}) AS first_arg_start,
+               CAST(MAX(s."end") AS {_B}) AS last_arg_end
+        FROM preds tr
+        JOIN singles s ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+        WHERE abs(s.start - tr.pos) <= {CFG.max_arg_distance} AND s.start != tr.pos
+        GROUP BY tr.conv_id, tr.turn_idx, tr.pos, tr.token"""
+    ),
+    "overlap_merge": q(
+        f"""WITH flagged AS (
+          SELECT *,
+                 CASE WHEN max("end") OVER (
+                        PARTITION BY conv_id, turn_idx ORDER BY start, "end"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                      OR start > max("end") OVER (
+                        PARTITION BY conv_id, turn_idx ORDER BY start, "end"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+          FROM mentions
+        ), islands AS (
+          SELECT *, SUM(new_island) OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY start, "end"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM flagged
+        )
+        SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end",
+               label, surface
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY conv_id, turn_idx, island
+                   ORDER BY ("end" - start) DESC, start, "end", label) AS rn
+          FROM islands
+        ) WHERE rn = 1"""
+    ),
+    "ner_metrics": q(
+        """WITH pred AS (
+          SELECT DISTINCT conv_id, turn_idx, start, "end", label FROM mentions
+          WHERE surface NOT IN ('vector', 'stream')
+        ), gold AS (
+          SELECT DISTINCT conv_id, turn_idx, start, "end", label FROM singles
+        ), m AS (SELECT * FROM pred INTERSECT SELECT * FROM gold),
+        c AS (
+          SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+                 (SELECT COUNT(*) FROM gold) AS n_gold,
+                 (SELECT COUNT(*) FROM m) AS n_matched
+        )
+        SELECT 'transcripts' AS dataset, 'ner' AS task,
+               n_pred, n_gold, n_matched,
+               round(n_matched / n_pred, 4) AS precision,
+               round(n_matched / n_gold, 4) AS recall,
+               round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                     / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+        FROM c"""
+    ),
+    "relation_metrics": q(
+        """WITH gold AS (
+          SELECT DISTINCT conv_id, turn_idx, subj_start, subj_end, pred, obj_start, obj_end
+          FROM triples WHERE obj_start - subj_start <= 4
+        ), p AS (
+          SELECT DISTINCT conv_id, turn_idx, subj_start, subj_end, pred, obj_start, obj_end
+          FROM triples
+        ), m AS (SELECT * FROM p INTERSECT SELECT * FROM gold),
+        c AS (
+          SELECT (SELECT COUNT(*) FROM p) AS n_pred,
+                 (SELECT COUNT(*) FROM gold) AS n_gold,
+                 (SELECT COUNT(*) FROM m) AS n_matched
+        )
+        SELECT 'transcripts' AS dataset, 'relation' AS task,
+               n_pred, n_gold, n_matched,
+               round(n_matched / n_pred, 4) AS precision,
+               round(n_matched / n_gold, 4) AS recall,
+               round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                     / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+        FROM c"""
+    ),
+    "antecedent_stats": q(
+        f"""WITH scored AS (
+          SELECT *, {raw_score('surface', 'width')} AS raw_score FROM span_surf
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY conv_id, turn_idx
+                   ORDER BY raw_score DESC, start, "end") AS beam_rank
+          FROM scored
+        ), kept AS (
+          SELECT * FROM ranked
+          WHERE beam_rank <= GREATEST(2, CAST(CEIL(0.3 * n_tokens) AS {_B}))
+        ), dr AS (
+          SELECT conv_id, row_number() OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx, start, "end") AS doc_rank
+          FROM kept
+        ), pairs AS (
+          SELECT a.conv_id, a.doc_rank, a.doc_rank - b.doc_rank AS "offset"
+          FROM dr a JOIN dr b ON a.conv_id = b.conv_id
+          WHERE a.doc_rank - b.doc_rank BETWEEN 1 AND {CFG.max_antecedents}
+        )
+        SELECT conv_id, COUNT(*) AS n_pairs,
+               CAST(MAX("offset") AS {_B}) AS max_offset,
+               COUNT(DISTINCT doc_rank) AS n_spans_with_antecedents
+        FROM pairs GROUP BY conv_id"""
+    ),
+    "distance_bucket_hist": q(
+        f"""WITH scored AS (
+          SELECT *, {raw_score('surface', 'width')} AS raw_score FROM span_surf
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY conv_id, turn_idx
+                   ORDER BY raw_score DESC, start, "end") AS beam_rank
+          FROM scored
+        ), kept AS (
+          SELECT * FROM ranked
+          WHERE beam_rank <= GREATEST(2, CAST(CEIL(0.3 * n_tokens) AS {_B}))
+        ), dr AS (
+          SELECT conv_id, row_number() OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx, start, "end") AS doc_rank
+          FROM kept
+        ), pairs AS (
+          SELECT a.doc_rank - b.doc_rank AS "offset"
+          FROM dr a JOIN dr b ON a.conv_id = b.conv_id
+          WHERE a.doc_rank - b.doc_rank BETWEEN 1 AND {CFG.max_antecedents}
+        )
+        SELECT CAST(CASE WHEN "offset" <= 4 THEN "offset"
+                    WHEN "offset" <= 7 THEN 5
+                    WHEN "offset" <= 15 THEN 6
+                    WHEN "offset" <= 31 THEN 7
+                    WHEN "offset" <= 63 THEN 8
+                    ELSE 9 END AS {_B}) AS bucket,
+               COUNT(*) AS n
+        FROM pairs GROUP BY 1"""
+    ),
+    "doc_split": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(sentence_start // 200 AS {_B}) AS chunk_id,
+               conv_id || '_SPLIT_' || CAST(sentence_start // 200 AS VARCHAR) AS split_key
+        FROM starts"""
+    ),
+    "length_guard": q(
+        f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(n_tokens AS {_B}) AS n_tokens,
+               n_tokens <= 1 AS is_single_token,
+               n_tokens > 64 AS exceeds_encoder_limit
+        FROM turn_stats"""
+    ),
+    "span_locate": q(
+        f"""WITH doc_spans AS (
+          SELECT conv_id, doc_pos AS start, doc_pos + 1 AS "end" FROM cmentions
+        )
+        SELECT d.conv_id, CAST(st.turn_idx AS {_B}) AS turn_idx,
+               CAST(d.start - st.sentence_start AS {_B}) AS rel_start,
+               CAST(d."end" - st.sentence_start AS {_B}) AS rel_end,
+               CAST(d.start AS {_B}) AS doc_start, CAST(d."end" AS {_B}) AS doc_end
+        FROM doc_spans d
+        JOIN starts st ON d.conv_id = st.conv_id
+        WHERE d.start >= st.sentence_start
+          AND d."end" <= st.sentence_start + st.n_tokens - 1"""
+    ),
+    "label_vocab": q(
+        f"""WITH vocab AS (
+          SELECT DISTINCT 'ner' AS task, label FROM mentions
+          UNION SELECT DISTINCT 'relation', pred FROM triples
+          UNION SELECT DISTINCT 'events', upper(token) FROM preds
+          UNION ALL SELECT * FROM (VALUES ('ner', ''), ('relation', ''), ('events', '')) AS n(task, label)
+        )
+        SELECT 'transcripts' AS dataset, task, label,
+               CAST(row_number() OVER (PARTITION BY task ORDER BY label) - 1 AS {_B}) AS label_ix
+        FROM vocab"""
+    ),
+    "multi_dataset_union": q(
+        f"""SELECT CASE WHEN CAST(conv_id AS {_B}) % 2 = 0
+                   THEN 'transcripts_even' ELSE 'transcripts_odd' END AS dataset,
+               conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end", label
+        FROM singles"""
+    ),
+}
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_assembly_offsets": QuerySpec(doc_assembly_offsets, _SQL["doc_assembly_offsets"]),
+    "turns_roundtrip": QuerySpec(turns_roundtrip, _SQL["turns_roundtrip"]),
+    "span_enum": QuerySpec(span_enum, _SQL["span_enum"]),
+    "span_enum_counts": QuerySpec(span_enum_counts, _SQL["span_enum_counts"]),
+    "ner_mentions": QuerySpec(ner_mentions, _SQL["ner_mentions"]),
+    "ner_align_counts": QuerySpec(ner_align_counts, _SQL["ner_align_counts"]),
+    "prune_topk": QuerySpec(prune_topk, _SQL["prune_topk"]),
+    "relation_triples": QuerySpec(relation_triples, _SQL["relation_triples"]),
+    "triple_dedup": QuerySpec(triple_dedup, _SQL["triple_dedup"]),
+    "coref_clusters": QuerySpec(coref_clusters, _SQL["coref_clusters"]),
+    "canonical_triples": QuerySpec(canonical_triples, _SQL["canonical_triples"]),
+    "event_triggers": QuerySpec(event_triggers, _SQL["event_triggers"]),
+    "event_arguments": QuerySpec(event_arguments, _SQL["event_arguments"]),
+    "event_arg_stats": QuerySpec(event_arg_stats, _SQL["event_arg_stats"]),
+    "overlap_merge": QuerySpec(overlap_merge, _SQL["overlap_merge"]),
+    "ner_metrics": QuerySpec(ner_metrics, _SQL["ner_metrics"]),
+    "relation_metrics": QuerySpec(relation_metrics, _SQL["relation_metrics"]),
+    "antecedent_stats": QuerySpec(antecedent_stats, _SQL["antecedent_stats"]),
+    "distance_bucket_hist": QuerySpec(distance_bucket_hist, _SQL["distance_bucket_hist"]),
+    "doc_split": QuerySpec(doc_split, _SQL["doc_split"]),
+    "length_guard": QuerySpec(length_guard, _SQL["length_guard"]),
+    "span_locate": QuerySpec(span_locate, _SQL["span_locate"]),
+    "label_vocab": QuerySpec(label_vocab, _SQL["label_vocab"]),
+    "multi_dataset_union": QuerySpec(multi_dataset_union, _SQL["multi_dataset_union"]),
+}
