@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns.
+
+Two paths, as a 100 TB pipeline needs:
+- brute-force top-k (the correctness baseline): query × corpus join with a
+  JVM-side dot product (zip_with + aggregate — whole-stage codegen, no
+  Python). Quadratic; used for small query sets and for validating the
+  approximate path.
+- sign-LSH bucketed ANN (the scale path): deterministic integer hyperplanes
+  → bucket signature → candidates share a bucket, so the join is
+  equi-partitioned and linear-ish in bucket sizes.
+
+Portability: embeddings are quantized to integers (floor(x·1000)) so dot
+products are exact 64-bit integers — bitwise identical in the DuckDB
+oracle. A float cosine variant (pandas UDF, numpy-batched) is provided for
+real use where cross-engine exactness doesn't matter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+QUANT_SCALE = 1000
+N_HYPERPLANES = 8
+
+
+def quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """embedding float[] → q int64[] (floor(x·1000); exact in both engines)."""
+    return emb.withColumn(
+        "q",
+        F.transform(F.col(vec_col), lambda x: F.floor(x * QUANT_SCALE).cast("bigint")),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 32,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force integer-dot top-k: for each query vec (id < n_queries),
+    the k corpus vectors with the largest dot product (self excluded),
+    deterministic tie-break on neighbor id."""
+    q = quantize(emb, "embedding").select(F.col(id_col).alias("qid"), F.col("q").alias("qv"))
+    c = quantize(emb, "embedding").select(F.col(id_col).alias("nid"), F.col("q").alias("nv"))
+    queries = q.where(F.col("qid") < n_queries)
+    scored = (
+        F.broadcast(queries)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("bigint").alias("vec_id"),
+            F.col("rank").cast("bigint"),
+            F.col("nid").cast("bigint").alias("neighbor_id"),
+            F.col("dot").cast("bigint"),
+        )
+    )
+
+
+def hyperplane(j: int, dim: int):
+    """Deterministic integer hyperplane j (values in [-3, 3])."""
+    return [((j * 131 + d * 31) % 7) - 3 for d in range(dim)]
+
+
+def lsh_buckets(emb: DataFrame, dim: int = 64, id_col: str = "vec_id") -> DataFrame:
+    """Sign-LSH bucket per vector: bit j = [dot(q, hyperplane_j) > 0]."""
+    q = quantize(emb, "embedding")
+    bucket = F.lit(0).cast("bigint")
+    for j in range(N_HYPERPLANES):
+        h = F.array(*[F.lit(v) for v in hyperplane(j, dim)])
+        bucket = bucket + F.when(_dot(F.col("q"), h) > 0, F.lit(1 << j)).otherwise(0)
+    return emb.select(F.col(id_col).cast("bigint").alias("vec_id")).join(
+        q.select(F.col(id_col).cast("bigint").alias("vec_id"), bucket.alias("bucket")),
+        on="vec_id",
+    ).select("vec_id", "bucket")
+
+
+def ann_topk_bucketed(
+    emb: DataFrame, k: int = 3, id_col: str = "vec_id", dim: int = 64
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same LSH bucket.
+    The scale path — the candidate join is an equi-join on bucket."""
+    b = lsh_buckets(emb, dim, id_col)
+    q = quantize(emb, "embedding").select(
+        F.col(id_col).cast("bigint").alias("vec_id"), "q"
+    ).join(b, on="vec_id")
+    a = q.select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"), "bucket")
+    c = q.select(F.col("vec_id").alias("nid"), F.col("q").alias("nv"), "bucket")
+    scored = (
+        a.join(c, on="bucket")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"), F.col("rank").cast("bigint"),
+            F.col("nid").alias("neighbor_id"), "dot",
+        )
+    )
+
+
+def cosine_topk_pandas(
+    emb: DataFrame, k: int = 3, n_queries: int = 32, id_col: str = "vec_id"
+) -> DataFrame:
+    """Float cosine top-k via a numpy-batched pandas UDF (the real-use path:
+    one matmul per Arrow batch against a broadcast query matrix)."""
+    rows = emb.where(F.col(id_col) < n_queries).select(id_col, "embedding").collect()
+    qids = np.array([r[id_col] for r in rows])
+    qm = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    sc = emb.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qm))
+
+    def score(batches):
+        bqids, bqm = bq.value
+        for pdf in batches:
+            cm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            sims = bqm @ cm.T  # [n_queries, batch]
+            nid = pdf[id_col].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(bqids, len(nid)),
+                    "neighbor_id": np.tile(nid, len(bqids)),
+                    "cosine": sims.ravel(),
+                }
+            )
+            yield out[out["vec_id"] != out["neighbor_id"]]
+
+    scored = emb.select(id_col, "embedding").mapInPandas(
+        score, schema="vec_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,226 @@
+"""DuckDB oracle SQL for the corpus-level operators (dedup, similarity,
+text quality, multimodal metadata) over the ``documents`` / ``embeddings``
+parquet tables. Generated from the same constants as the Spark builders
+(functions.hashing, operators.similarity) so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from dygiepp_spark.functions.hashing import (
+    MINHASH_PERMS,
+    PERM_MOD,
+    MOD,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    char_hash_sql,
+)
+from dygiepp_spark.functions.lexicons import STOPWORDS, sql_in
+from dygiepp_spark.operators.similarity import N_HYPERPLANES, QUANT_SCALE, hyperplane
+from dygiepp_spark.operators.text_quality import PROFILE_SIZE, WINNOW_WINDOW
+
+_H_TEXT = char_hash_sql("text", "duckdb")
+_H_TOKEN = char_hash_sql("token", "duckdb")
+_H_SHINGLE = char_hash_sql("shingle", "duckdb")
+
+_PERM_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+
+SHINGLES_CTE = f"""
+toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+  FROM documents
+),
+sh2 AS (
+  SELECT doc_id,
+         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM toks
+),
+shingles AS (
+  SELECT DISTINCT doc_id, {_H_SHINGLE} AS shash
+  FROM sh2 WHERE shingle IS NOT NULL
+),
+perms AS (SELECT * FROM (VALUES {_PERM_VALUES}) AS p(perm_ix, a, b)),
+minsig AS (
+  SELECT s.doc_id, CAST(p.perm_ix AS BIGINT) AS perm_ix,
+         MIN((p.a * s.shash + p.b) % {PERM_MOD}) AS minhash
+  FROM shingles s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.perm_ix
+),
+bands AS (
+  SELECT doc_id, perm_ix // {ROWS_PER_BAND} AS band_ix,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list(minhash ORDER BY perm_ix)),
+           (acc, x) -> (acc * 31 + x) % {MOD}) AS band_hash
+  FROM minsig GROUP BY doc_id, perm_ix // {ROWS_PER_BAND}
+),
+sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band_ix, band_hash) AS bucket_size
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band_ix = b.band_ix AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id AND a.bucket_size <= 64 AND b.bucket_size <= 64
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         CAST(na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union
+  FROM cand c
+  LEFT JOIN (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+    FROM cand p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shash = sa.shash
+    GROUP BY p.doc_a, p.doc_b
+  ) i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+  JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id) na ON na.doc_id = c.doc_a
+  JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id) nb ON nb.doc_id = c.doc_b
+)
+"""
+
+
+def _ballot(b: int) -> str:
+    return (
+        f"SUM(CASE WHEN (({2 * b + 3} * thash) % {MOD}) % 2 = 0 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+    )
+
+
+SIMHASH_SQL = f"""WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tokh AS (SELECT doc_id, {_H_TOKEN} AS thash FROM toks),
+ballots AS (
+  SELECT doc_id, {', '.join(_ballot(b) for b in range(SIMHASH_BITS))}
+  FROM tokh GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({' + '.join(f'(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)' for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM ballots"""
+
+_QUANT = f"list_transform(embedding, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT))"
+
+
+def _hyperplane_sql(j: int, dim: int = 64) -> str:
+    vals = ", ".join(str(v) for v in hyperplane(j, dim))
+    return f"CAST(list_dot_product(qv, [{vals}]) AS BIGINT)"
+
+
+EMBED_TOPK_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
+)
+SELECT qid AS vec_id, CAST(rn AS BIGINT) AS rank, nid AS neighbor_id, dot
+FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT) DESC, b.vec_id) AS rn
+  FROM q a JOIN q b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 32
+)
+WHERE rn <= 3"""
+
+EMBED_BUCKETS_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
+)
+SELECT vec_id,
+       CAST({' + '.join(f'(CASE WHEN {_hyperplane_sql(j)} > 0 THEN {1 << j} ELSE 0 END)' for j in range(N_HYPERPLANES))} AS BIGINT) AS bucket
+FROM q"""
+
+LANG_ID_SQL = f"""WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(text) - 1),
+                               i -> substr(text, i, 2))) AS bigram
+  FROM documents
+),
+prof_counts AS (SELECT lang, bigram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+prof AS (
+  SELECT lang, bigram FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rnk
+    FROM prof_counts
+  ) WHERE rnk <= {PROFILE_SIZE}
+),
+scores AS (
+  SELECT g.doc_id, p.lang, COUNT(*) AS overlap
+  FROM grams g JOIN prof p ON g.bigram = p.bigram
+  GROUP BY g.doc_id, p.lang
+),
+pred AS (
+  SELECT doc_id, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rnk
+    FROM scores
+  ) WHERE rnk = 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, p.lang AS pred_lang,
+       d.lang AS actual_lang, p.lang = d.lang AS is_correct
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id"""
+
+QUALITY_SQL = f"""WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN {sql_in(STOPWORDS)})) AS BIGINT) AS stopword_cnt,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_types, stopword_cnt, n_chars,
+       round(n_types / n_tokens, 4) AS type_token_ratio,
+       round(stopword_cnt / n_tokens, 4) AS stopword_ratio,
+       round((n_chars - n_tokens + 1) / n_tokens, 4) AS mean_token_len,
+       round(n_types / n_tokens / 2
+             + (1 - stopword_cnt / n_tokens) / 4
+             + least(n_tokens / 64.0, 1.0) / 4, 4) AS quality
+FROM base"""
+
+TOKEN_COUNTS_SQL = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         (acc, x) -> acc + x) AS n_subwords
+FROM documents"""
+
+_WIN_HASH = (
+    "list_reduce(list_transform(string_split(substr(text, i, "
+    f"{WINNOW_WINDOW}), ''), c -> CAST(ascii(c) AS BIGINT)), "
+    f"(acc, x) -> (acc * 31 + x) % {MOD})"
+)
+
+FINGERPRINT_SQL = f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_H_TEXT} AS fingerprint,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - {WINNOW_WINDOW - 1}, 1)),
+         i -> {_WIN_HASH})) AS winnow_min
+FROM documents"""
+
+BINARY_METADATA_SQL = f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {_H_TEXT} AS checksum
+FROM documents"""
+
+EXACT_DEDUP_SQL = f"""WITH hashed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_H_TEXT} AS text_hash FROM documents
+)
+SELECT doc_id, text_hash,
+       MIN(doc_id) OVER (PARTITION BY text_hash) AS canonical_doc_id,
+       COUNT(*) OVER (PARTITION BY text_hash) AS group_size
+FROM hashed"""
+
+MINHASH_SIG_SQL = f"WITH {SHINGLES_CTE.strip()}\nSELECT doc_id, perm_ix, minhash FROM minsig"
+
+LSH_PAIRS_SQL = f"WITH {SHINGLES_CTE.strip()}\nSELECT doc_a, doc_b FROM cand"
+
+NEAR_DUP_SQL = (
+    f"WITH {SHINGLES_CTE.strip()}\n"
+    "SELECT doc_a, doc_b, n_inter, n_union FROM jacc WHERE n_inter * 4 >= n_union * 1"
+)

@@ -555,7 +555,130 @@ _SQL: dict[str, str] = {
     ),
 }
 
+# ------------------------------------------------- corpus-level operators
+
+def _docs(spark, sf_dir):
+    from dygiepp_spark.tables import load_table
+
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark, sf_dir):
+    from dygiepp_spark.tables import load_table
+
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def exact_dedup(spark, sf_dir):
+    """Exact dedup by full-text hash (training-data pipeline op)."""
+    from dygiepp_spark.operators import dedup
+
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def minhash_signatures(spark, sf_dir):
+    from dygiepp_spark.operators import dedup
+
+    return dedup.minhash_signatures(dedup.shingle_hashes(_docs(spark, sf_dir)))
+
+
+def lsh_candidate_pairs(spark, sf_dir):
+    from dygiepp_spark.operators import dedup
+
+    return dedup.lsh_candidate_pairs(dedup.shingle_hashes(_docs(spark, sf_dir)))
+
+
+def near_dup_pairs(spark, sf_dir):
+    from dygiepp_spark.operators import dedup
+
+    return dedup.near_dup_pairs(_docs(spark, sf_dir))
+
+
+def simhash_values(spark, sf_dir):
+    from dygiepp_spark.operators import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def embedding_dot_topk(spark, sf_dir):
+    from dygiepp_spark.operators import similarity
+
+    return similarity.dot_topk(_emb(spark, sf_dir), k=3, n_queries=32)
+
+
+def embedding_lsh_buckets(spark, sf_dir):
+    from dygiepp_spark.operators import similarity
+
+    return similarity.lsh_buckets(_emb(spark, sf_dir))
+
+
+def lang_id_predict(spark, sf_dir):
+    from dygiepp_spark.operators import text_quality
+
+    return text_quality.lang_id(_docs(spark, sf_dir))
+
+
+def quality_scores(spark, sf_dir):
+    from dygiepp_spark.operators import text_quality
+
+    return text_quality.quality_scores(_docs(spark, sf_dir))
+
+
+def token_counts(spark, sf_dir):
+    from dygiepp_spark.operators import text_quality
+
+    return text_quality.token_counts(_docs(spark, sf_dir))
+
+
+def doc_fingerprints(spark, sf_dir):
+    from dygiepp_spark.operators import text_quality
+
+    return text_quality.doc_fingerprints(_docs(spark, sf_dir))
+
+
+def binary_metadata(spark, sf_dir):
+    from dygiepp_spark.operators import multimodal
+
+    return multimodal.binary_metadata(_docs(spark, sf_dir))
+
+
+def multimodal_decode(spark, sf_dir):
+    """Stubbed media decode — Spark plumbing real, decoder deterministic
+    stand-in; rows-only check (no SQL-expressible oracle for the UDF)."""
+    from dygiepp_spark.operators import multimodal
+
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    feats = multimodal.decode_features(media)
+    return _longs(
+        feats.select("doc_id", "width", "height", F.size("features").alias("feature_dim"))
+    )
+
+
+def embedding_cosine_topk(spark, sf_dir):
+    """Float cosine top-k via numpy-batched pandas UDF; rows-only check
+    (float sums aren't cross-engine exact)."""
+    from dygiepp_spark.operators import similarity
+
+    return similarity.cosine_topk_pandas(_emb(spark, sf_dir), k=3, n_queries=16)
+
+
+from dygiepp_spark import oracle_sql_corpus as _c  # noqa: E402
+
 QUERIES: dict[str, QuerySpec] = {
+    "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
+    "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
+    "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),
+    "near_dup_pairs": QuerySpec(near_dup_pairs, _c.NEAR_DUP_SQL),
+    "simhash_values": QuerySpec(simhash_values, _c.SIMHASH_SQL),
+    "embedding_dot_topk": QuerySpec(embedding_dot_topk, _c.EMBED_TOPK_SQL),
+    "embedding_lsh_buckets": QuerySpec(embedding_lsh_buckets, _c.EMBED_BUCKETS_SQL),
+    "lang_id_predict": QuerySpec(lang_id_predict, _c.LANG_ID_SQL),
+    "quality_scores": QuerySpec(quality_scores, _c.QUALITY_SQL),
+    "token_counts": QuerySpec(token_counts, _c.TOKEN_COUNTS_SQL),
+    "doc_fingerprints": QuerySpec(doc_fingerprints, _c.FINGERPRINT_SQL),
+    "binary_metadata": QuerySpec(binary_metadata, _c.BINARY_METADATA_SQL),
+    "multimodal_decode": QuerySpec(multimodal_decode, None),
+    "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, None),
     "doc_assembly_offsets": QuerySpec(doc_assembly_offsets, _SQL["doc_assembly_offsets"]),
     "turns_roundtrip": QuerySpec(turns_roundtrip, _SQL["turns_roundtrip"]),
     "span_enum": QuerySpec(span_enum, _SQL["span_enum"]),

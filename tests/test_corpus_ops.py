@@ -1,0 +1,129 @@
+"""Semantic tests for the training-data pipeline operators: the planted
+near-duplicates in documents.parquet must be found; ANN results must be a
+subset-quality approximation of brute force; multimodal plumbing shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dygiepp_spark.operators import dedup, multimodal, similarity
+from dygiepp_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR)
+
+
+def test_exact_dedup_identity(spark, docs):
+    out = dedup.exact_dedup(docs)
+    assert out.count() == docs.count()
+    # corpus has no exact dupes; every group is a singleton
+    assert out.where("group_size > 1").count() == 0
+    # planting an exact duplicate must group it
+    d2 = docs.limit(1).withColumn("doc_id", F.lit(999999)).unionByName(docs)
+    out2 = dedup.exact_dedup(d2)
+    assert out2.where("group_size = 2").count() == 2
+
+
+def test_near_dup_finds_planted_duplicates(spark, docs):
+    """Docs containing the 'dup' marker are near-copies of other docs;
+    MinHash-LSH at Jaccard ≥ 1/4 must surface pairs involving them."""
+    pairs = dedup.near_dup_pairs(docs).collect()
+    assert len(pairs) > 0
+    dup_ids = {r["doc_id"] for r in docs.where("text LIKE '%dup%'").collect()}
+    flagged = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert flagged & dup_ids, "planted near-dups not found"
+    for r in pairs:
+        assert r["n_inter"] * 4 >= r["n_union"]
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    """Any pair with Jaccard ≥ 0.75 must be an LSH candidate with
+    overwhelming probability (8 bands × 2 rows: P(miss) = (1-j²)⁸ ≈ 0.1%
+    at j=0.75); verified exhaustively on this corpus."""
+    sh = dedup.shingle_hashes(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shash")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shash")
+    inter = (
+        a.join(b, on="shash").where("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where("n_inter * 4 >= (na + nb - n_inter) * 3")
+    )
+    high = {(r["doc_a"], r["doc_b"]) for r in j.collect()}
+    cands = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sh).collect()}
+    missed = high - cands
+    assert len(missed) <= 1, f"LSH missed {missed}"
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sim = dedup.simhash(docs)
+    pairs = dedup.near_dup_pairs(docs).limit(5)
+    joined = (
+        pairs.join(sim.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sa"), "doc_a")
+        .join(sim.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sb"), "doc_b")
+        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")))
+    )
+    rows = joined.collect()
+    assert rows and all(r["hamming"] <= 16 for r in rows)  # near dups → close hashes
+
+
+def test_ann_bucketed_consistency(spark, emb):
+    """Bucketed ANN neighbors must be real same-bucket vectors whose dot
+    scores match brute force exactly (the integer dot is shared)."""
+    ann = similarity.ann_topk_bucketed(emb, k=2)
+    bf = similarity.dot_topk(emb, k=2000, n_queries=4)  # effectively all
+    bf_dots = {(r["vec_id"], r["neighbor_id"]): r["dot"] for r in bf.collect()}
+    for r in ann.where("vec_id < 4").collect():
+        assert bf_dots[(r["vec_id"], r["neighbor_id"])] == r["dot"]
+
+
+def test_cosine_pandas_topk(spark, emb):
+    out = similarity.cosine_topk_pandas(emb, k=3, n_queries=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["vec_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3}
+    for q, rs in per_q.items():
+        assert len(rs) == 3
+        assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rs)
+        ranks = sorted((r["rank"], r["cosine"]) for r in rs)
+        assert ranks[0][1] >= ranks[-1][1]  # rank 1 has highest cosine
+
+
+def test_multimodal_decode_shapes(spark, docs):
+    media = multimodal.attach_binary(docs.limit(10))
+    feats = similarity = multimodal.decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 48
+        assert len(r["features"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_multimodal_decode_real_path_raises(spark, docs):
+    media = multimodal.attach_binary(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, fake=False)
+
+
+def test_frame_sample_fanout(spark, docs):
+    media = multimodal.attach_binary(docs.limit(3))
+    frames = multimodal.frame_sample(media, every_n_bytes=50)
+    lens = {r["doc_id"]: r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    nb = {r["doc_id"]: r["n_bytes"] for r in multimodal.binary_metadata(docs.limit(3)).collect()}
+    for d, n in lens.items():
+        assert n == (nb[d] + 49) // 50  # ceil(bytes / 50) frames
