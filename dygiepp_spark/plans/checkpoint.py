@@ -1,0 +1,151 @@
+"""Per-partition checkpointing with lineage + metrics (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Pattern (the Iceberg-style incremental commit, done with parquet in this
+sandbox; swap the writes for Iceberg `df.writeTo(...).overwritePartitions()`
+in production — semantics identical):
+
+  1. partition_key = pmod(xxhash64(conv_id), n_partitions): conversations
+     never straddle partitions (the reference's document-at-a-time unit).
+  2. lineage table records (run_id, stage, partition_key, counts, status,
+     input_fingerprint) for every COMMITTED partition.
+  3. a (re)run processes only partitions missing from lineage, writing data
+     with dynamic-partition overwrite (idempotent: a partition interrupted
+     mid-write is simply rewritten), then appends lineage in one atomic-ish
+     append AFTER the data commit.
+  4. input_fingerprint = order-insensitive xor of row hashes per partition;
+     resume verifies it so stale checkpoints of changed inputs recompute.
+
+One job writes all missing partitions (no per-partition driver loop — at
+4096 partitions a loop of jobs would dominate wall clock).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# note: not "_lineage" — Spark's file source silently ignores _-prefixed paths
+LINEAGE_DIR = "lineage"
+PART_COL = "partition_key"
+
+
+def with_partition_key(turns: DataFrame, n_partitions: int) -> DataFrame:
+    return turns.withColumn(
+        PART_COL, F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions)).cast("bigint")
+    )
+
+
+def partition_fingerprints(keyed_turns: DataFrame) -> DataFrame:
+    """(partition_key, input_fingerprint, n_conversations, n_turns)."""
+    return keyed_turns.groupBy(PART_COL).agg(
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("input_fingerprint"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversations"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = os.path.join(out_dir, LINEAGE_DIR)
+    if not os.path.isdir(path):  # first run: no lineage yet (local FS /
+        return None  # driver-visible DFS mount; Iceberg catalogs instead)
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — dir exists but no committed files
+        return None
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_dir: str,
+    run_id: str,
+    stage: str = "triples",
+    n_partitions: int = 16,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict:
+    """Run `transform` (default: relation-triple extraction) over only the
+    partitions not yet committed for `stage`; returns a summary dict.
+
+    Data lands in {out_dir}/data/{stage}/ partitioned by partition_key;
+    lineage in {out_dir}/lineage/.
+    """
+    if transform is None:
+        from dygiepp_spark.operators.extract import relation_triples
+
+        transform = relation_triples
+
+    keyed = with_partition_key(turns, n_partitions)
+    fps = partition_fingerprints(keyed)
+
+    lineage = read_lineage(spark, out_dir)
+    if lineage is not None:
+        done = lineage.where(
+            (F.col("stage") == stage) & (F.col("status") == "done")
+        ).select(PART_COL, "input_fingerprint")
+        # a partition is skippable iff SOME committed lineage row matches
+        # the current input fingerprint (recomputed partitions leave their
+        # stale rows behind — append-only lineage)
+        todo_keys = fps.join(
+            done, on=[PART_COL, "input_fingerprint"], how="left_anti"
+        ).select(PART_COL)
+    else:
+        todo_keys = fps.select(PART_COL)
+
+    todo = [r[PART_COL] for r in todo_keys.collect()]
+    summary = {
+        "run_id": run_id,
+        "stage": stage,
+        "n_partitions": n_partitions,
+        "n_todo": len(todo),
+        "n_skipped": n_partitions - len(todo),
+    }
+    if not todo:
+        return summary
+
+    subset = keyed.where(F.col(PART_COL).isin(todo))
+    out = transform(subset.drop(PART_COL))
+    out_keyed = out.withColumn(
+        PART_COL, F.pmod(F.xxhash64("conv_id"), F.lit(n_partitions)).cast("bigint")
+    )
+
+    data_path = os.path.join(out_dir, "data", stage)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        out_keyed.repartition(PART_COL)
+        .write.mode("overwrite")
+        .partitionBy(PART_COL)
+        .parquet(data_path)
+    )
+
+    # lineage append AFTER the data commit (metrics per partition)
+    row_counts = (
+        spark.read.parquet(data_path)
+        .where(F.col(PART_COL).isin(todo))
+        .groupBy(PART_COL)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_out"))
+    )
+    new_lineage = (
+        fps.where(F.col(PART_COL).isin(todo))
+        .join(row_counts, on=PART_COL, how="left")
+        .na.fill({"n_rows_out": 0})
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col(PART_COL),
+            "n_conversations",
+            "n_turns",
+            "n_rows_out",
+            F.lit("done").alias("status"),
+            "input_fingerprint",
+        )
+    )
+    new_lineage.write.mode("append").parquet(os.path.join(out_dir, LINEAGE_DIR))
+    summary["n_rows_out"] = sum(r["n_rows_out"] for r in row_counts.collect())
+    return summary
+
+
+def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data", stage))

@@ -1,0 +1,118 @@
+"""Reference-format JSONL source/sink (SURVEY.md §2 A1/A2).
+
+The reference reads/writes one JSON document per line with fields
+{doc_key, dataset, sentences, ner, relations, clusters, events, weight, _*}
+(reference: doc/data.md:17-91; reader document.py:77-85, writer 87-91).
+This module round-trips that format against the engine's turns/document
+DataFrames so a reference-corpus fixture can flow through the Spark
+pipeline and predictions can be emitted in the reference's shape
+(predicted_* fields per doc/data.md:108-116).
+
+Everything is `from_json`/`to_json` + explode — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+DOC_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_key", T.StringType(), False),
+        T.StructField("dataset", T.StringType(), True),
+        T.StructField("sentences", T.ArrayType(T.ArrayType(T.StringType())), False),
+        T.StructField(
+            "ner",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.StringType()))),  # [start, end, label]
+            True,
+        ),
+        T.StructField(
+            "relations",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.StringType()))),  # [s1,e1,s2,e2,label]
+            True,
+        ),
+        T.StructField("weight", T.DoubleType(), True),
+    ]
+)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str) -> DataFrame:
+    """A1 — one JSON doc per line → document rows."""
+    return spark.read.schema(DOC_JSON_SCHEMA).json(path)
+
+
+def docs_to_turns(docs: DataFrame) -> DataFrame:
+    """Reference documents → engine turns (one turn per sentence).
+
+    Mirrors the transcript mapping: doc_key = conv_id, sentence index =
+    turn_idx; tokens joined by single spaces (per-turn text equality is
+    preserved because reference tokens never contain spaces —
+    doc/data.md:29 bans empty tokens)."""
+    return docs.select(
+        F.col("doc_key").alias("conv_id"),
+        F.coalesce(F.col("dataset"), F.lit("transcripts")).alias("dataset"),
+        F.posexplode("sentences").alias("turn_idx", "tokens"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit(None).cast("string").alias("role"),
+        F.array_join("tokens", " ").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "dataset",
+    )
+
+
+def turns_to_doc_json(turns: DataFrame, dataset: str = "transcripts") -> DataFrame:
+    """B2 + A2 — turns → one JSON line per document (column `json`)."""
+    packed = (
+        turns.withColumn("tokens", F.split("text", " "))
+        .groupBy("conv_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("turn_idx", "tokens"))).alias("_t")
+        )
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("conv_id").alias("doc_key"),
+                    F.lit(dataset).alias("dataset"),
+                    F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
+                )
+            ).alias("json")
+        )
+    )
+    return packed
+
+
+def write_jsonl_docs(turns: DataFrame, path: str, dataset: str = "transcripts") -> None:
+    """A2 — JSONL sink (one doc per line). Text-file write so golden files
+    diff cleanly against reference-produced JSONL."""
+    turns_to_doc_json(turns, dataset).coalesce(1).write.mode("overwrite").text(path)
+
+
+def gold_ner_from_docs(docs: DataFrame) -> DataFrame:
+    """Explode reference-format gold NER ([doc-level start, end, label] per
+    sentence, doc/data.md:35-43) into engine mention rows with turn-relative
+    offsets (uses the sentence-offset cumsum, B1)."""
+    sent = docs.select(
+        "doc_key",
+        F.posexplode("sentences").alias("sent_ix", "tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_key").orderBy("sent_ix").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sent.withColumn(
+        "sentence_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select("doc_key", "sent_ix", "sentence_start")
+
+    ner = docs.select(
+        "doc_key", F.posexplode("ner").alias("sent_ix", "sent_ner")
+    ).select("doc_key", "sent_ix", F.explode("sent_ner").alias("m"))
+    return ner.join(offs, on=["doc_key", "sent_ix"]).select(
+        F.col("doc_key").alias("conv_id"),
+        F.col("sent_ix").cast("int").alias("turn_idx"),
+        (F.col("m")[0].cast("int") - F.col("sentence_start")).cast("int").alias("start"),
+        (F.col("m")[1].cast("int") - F.col("sentence_start")).cast("int").alias("end"),
+        F.col("m")[2].alias("label"),
+    )

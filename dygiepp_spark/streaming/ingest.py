@@ -1,0 +1,77 @@
+"""Structured Streaming ingestion of the turns table.
+
+The reference is batch-only (SURVEY.md §2.H); streaming ingestion is the
+engine extension that makes the KG pipeline incremental: turns arrive
+continuously, extraction runs per micro-batch, and the triple store grows
+append-only with dedup handled downstream by the canonicalization step.
+
+Patterns used:
+- `readStream` over a parquet/Iceberg directory of turns (schema pinned).
+- stateless heads run inside `foreachBatch`, reusing the exact batch
+  operators — one code path for batch and streaming (no drift).
+- a stateful example: per-conversation session windows with watermark on
+  `ts` (conversations "close" after `gap` of inactivity — the streaming
+  analogue of document assembly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dygiepp_spark.schemas import TURNS_SCHEMA
+
+
+def read_turns_stream(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
+    return (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def conversation_sessions(
+    turns_stream: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stateful streaming doc assembly: one row per (conv, session window)
+    with turn counts and token totals; late turns beyond the watermark drop
+    (the streaming analogue of B1/B2 assembly)."""
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+    )
+
+
+def start_streaming_triples(
+    turns_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental triple extraction: per micro-batch, run the SAME batch
+    extraction operators and append. Checkpointing + exactly-once file sink
+    semantics come from Structured Streaming; triple-level dedup is a
+    downstream batch step (canonicalize), as global dedup in-stream would
+    need unbounded state."""
+    from dygiepp_spark.operators.extract import relation_triples
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = relation_triples(batch_df)
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    writer = (
+        turns_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
