@@ -53,33 +53,30 @@ def antecedent_edges(mentions: DataFrame) -> DataFrame:
 def clusters_via_components(turns: DataFrame) -> DataFrame:
     """E4 — cluster formation as distributed connected components.
 
-    Returns (conv_id, cluster_id, turn_idx, start, end, surface) where
-    cluster_id = min doc-position of the cluster; singleton mentions are
-    dropped (reference emits only clusters with ≥2 members — a cluster is a
-    list of ≥1 antecedent link)."""
-    from dygiepp_spark.operators.graph import connected_components
+    Coref graphs never cross conversations, so this uses the grouped CC
+    (one shuffle, per-conversation union-find) rather than the iterative
+    global algorithm — at any corpus size the cost is one hash shuffle of
+    the edge list. Returns (conv_id, cluster_id, turn_idx, start, end,
+    surface); cluster_id = min doc-position member; singleton mentions drop
+    (reference clusters have ≥2 members)."""
+    from dygiepp_spark.operators.graph import connected_components_grouped
 
     mentions = coref_mentions(turns)
     edges = antecedent_edges(mentions)
-    e = edges.select(
-        _node_id(F.col("conv_id"), F.col("doc_pos")).alias("src"),
-        _node_id(F.col("conv_id"), F.col("ant_doc_pos")).alias("dst"),
-    )
-    comp = connected_components(e, "src", "dst")
-    nodes = mentions.withColumn(
-        "node", _node_id(F.col("conv_id"), F.col("doc_pos"))
-    )
-    return (
-        nodes.join(comp, on="node", how="inner")  # inner: singletons drop out
-        .select(
+    comp = connected_components_grouped(
+        edges.select(
             "conv_id",
-            F.split(F.col("component"), "#")[1].cast("bigint").alias("cluster_id"),
-            "turn_idx",
-            "start",
-            "end",
-            "surface",
-            "doc_pos",
-        )
+            F.col("doc_pos").alias("src"),
+            F.col("ant_doc_pos").alias("dst"),
+        ),
+        group_col="conv_id",
+    ).select(
+        F.col("group").alias("conv_id"),
+        F.col("node").alias("doc_pos"),
+        F.col("component").alias("cluster_id"),
+    )
+    return mentions.join(comp, on=["conv_id", "doc_pos"], how="inner").select(
+        "conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"
     )
 
 

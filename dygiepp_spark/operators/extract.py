@@ -59,33 +59,39 @@ def ner_mentions(turns: DataFrame, include_modifier_spans: bool = True) -> DataF
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     toks2 = toks.withColumn("next_token", F.lead("token").over(w))
 
-    singles = toks2.withColumn("label", _entity_label(F.col("token"))).where(
-        F.col("label").isNotNull()
-    ).select(
-        "conv_id",
-        "turn_idx",
+    # single pass: each token emits up to two candidate mentions (itself as
+    # a width-1 span; modifier+next as a width-2 span) — one scan of the
+    # turns table instead of a two-branch union reading it twice
+    single = F.struct(
         F.col("pos").alias("start"),
         F.col("pos").alias("end"),
-        "label",
+        _entity_label(F.col("token")).alias("label"),
         F.col("token").alias("surface"),
     )
-    if not include_modifier_spans:
-        return _with_scores(singles)
-
-    pairs = (
-        toks2.where(F.col("token").isin(list(MODIFIERS)))
-        .withColumn("label", _entity_label(F.col("next_token")))
-        .where(F.col("label").isNotNull())
-        .select(
-            "conv_id",
-            "turn_idx",
+    candidates = [single]
+    if include_modifier_spans:
+        pair = F.struct(
             F.col("pos").alias("start"),
             (F.col("pos") + 1).cast("int").alias("end"),
-            "label",
+            F.when(
+                F.col("token").isin(list(MODIFIERS)),
+                _entity_label(F.col("next_token")),
+            ).alias("label"),
             F.concat_ws(" ", F.col("token"), F.col("next_token")).alias("surface"),
         )
+        candidates.append(pair)
+    exploded = toks2.select(
+        "conv_id", "turn_idx", F.explode(F.array(*candidates)).alias("m")
+    ).where(F.col("m.label").isNotNull())
+    out = exploded.select(
+        "conv_id",
+        "turn_idx",
+        F.col("m.start").cast("int").alias("start"),
+        F.col("m.end").cast("int").alias("end"),
+        F.col("m.label").alias("label"),
+        F.col("m.surface").alias("surface"),
     )
-    return _with_scores(singles.unionByName(pairs))
+    return _with_scores(out)
 
 
 def predicate_tokens(turns: DataFrame) -> DataFrame:
@@ -107,45 +113,80 @@ def relation_triples(turns: DataFrame, cfg: PipelineConfig | None = None) -> Dat
     after one hash shuffle; AQE handles skewed conversations.
     """
     cfg = cfg or PipelineConfig()
-    ents = entity_tokens(turns).select(
-        "conv_id", "turn_idx", "pos", "token", "label"
+    # Single-pass formulation: the within-turn pair/predicate search is
+    # pure array algebra on the token list — one scan, ZERO shuffles (the
+    # join-based formulation costs 3 scans + 2 joins + a window; at corpus
+    # scale relation extraction should be an embarrassingly parallel map,
+    # exactly like the UDF inference path). Array `filter` preserves
+    # element order, so element_at(..., 1) of the in-between predicates is
+    # the earliest one — the deterministic tie-break, no row_number needed.
+    toks = F.split(F.col("text"), " ")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(i.cast("int").alias("pos"), t.alias("token"))
     )
-    subj = ents.select(
+    # materialize the (small) per-turn entity/predicate arrays as named
+    # columns: nested lambdas referencing a column evaluate it once per row,
+    # whereas inlining the filter() re-runs the 17-branch label CASE for
+    # every (subject, object) probe — measured 4× slower
+    base = turns.select(
         "conv_id",
         "turn_idx",
-        F.col("pos").alias("subj_start"),
-        F.col("token").alias("subj_surface"),
+        F.filter(indexed, lambda x: _entity_label(x["token"]).isNotNull()).alias("_ents"),
+        F.filter(indexed, lambda x: x["token"].isin(list(PREDICATES))).alias("_preds"),
     )
-    obj = ents.select(
-        "conv_id",
-        "turn_idx",
-        F.col("pos").alias("obj_start"),
-        F.col("token").alias("obj_surface"),
+    ents, preds = F.col("_ents"), F.col("_preds")
+
+    pairs = F.flatten(
+        F.transform(
+            ents,
+            lambda s: F.transform(
+                F.filter(
+                    ents,
+                    lambda o: (o["pos"] > s["pos"])
+                    & (o["pos"] - s["pos"] <= cfg.max_pair_distance),
+                ),
+                lambda o: F.struct(
+                    s["pos"].alias("subj_start"),
+                    s["token"].alias("subj_surface"),
+                    o["pos"].alias("obj_start"),
+                    o["token"].alias("obj_surface"),
+                ),
+            ),
+        )
     )
-    preds = predicate_tokens(turns).select(
-        "conv_id", "turn_idx", F.col("pos").alias("pred_pos"), F.col("token").alias("pred_tok")
+    with_pred = F.transform(
+        pairs,
+        lambda p: F.struct(
+            p["subj_start"],
+            p["subj_surface"],
+            p["obj_start"],
+            p["obj_surface"],
+            F.try_element_at(  # NULL (not ANSI error) when no predicate lies between
+                F.filter(
+                    preds,
+                    lambda q: (q["pos"] > p["subj_start"]) & (q["pos"] < p["obj_start"]),
+                ),
+                F.lit(1),
+            )["token"].alias("pred_tok"),
+        ),
     )
-    pairs = subj.join(obj, on=["conv_id", "turn_idx"]).where(
-        (F.col("obj_start") > F.col("subj_start"))
-        & (F.col("obj_start") - F.col("subj_start") <= cfg.max_pair_distance)
-    )
-    joined = pairs.join(preds, on=["conv_id", "turn_idx"]).where(
-        (F.col("pred_pos") > F.col("subj_start")) & (F.col("pred_pos") < F.col("obj_start"))
-    )
-    w = Window.partitionBy(
-        "conv_id", "turn_idx", "subj_start", "obj_start"
-    ).orderBy("pred_pos")
-    best = joined.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    out = best.select(
-        "conv_id",
-        "turn_idx",
-        F.col("subj_start").cast("int"),
-        F.col("subj_start").cast("int").alias("subj_end"),
-        "subj_surface",
-        F.upper(F.col("pred_tok")).alias("pred"),
-        F.col("obj_start").cast("int"),
-        F.col("obj_start").cast("int").alias("obj_end"),
-        "obj_surface",
+    triples_arr = F.filter(with_pred, lambda x: x["pred_tok"].isNotNull())
+
+    out = (
+        base.select(
+            "conv_id", "turn_idx", F.explode(triples_arr).alias("r")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("r.subj_start").cast("int").alias("subj_start"),
+            F.col("r.subj_start").cast("int").alias("subj_end"),
+            F.col("r.subj_surface").alias("subj_surface"),
+            F.upper(F.col("r.pred_tok")).alias("pred"),
+            F.col("r.obj_start").cast("int").alias("obj_start"),
+            F.col("r.obj_start").cast("int").alias("obj_end"),
+            F.col("r.obj_surface").alias("obj_surface"),
+        )
     )
     pair_surface = F.concat_ws(" ", F.col("subj_surface"), F.col("obj_surface"))
     pair_width = (F.col("obj_start") - F.col("subj_start") + 1).cast("int")
@@ -196,24 +237,48 @@ def event_arguments(turns: DataFrame, cfg: PipelineConfig | None = None) -> Data
     the reference's trigger-argument embedding distances
     (events.py:222-266)."""
     cfg = cfg or PipelineConfig()
-    trig = event_triggers(turns).select("conv_id", "turn_idx", "trigger_ix", "event_type")
-    ents = entity_tokens(turns).select(
-        "conv_id", "turn_idx", F.col("pos").cast("int").alias("arg_pos"),
-        F.col("token").alias("arg_surface"),
+    # single-pass array formulation, like relation_triples: one scan, no
+    # joins — trigger×argument pairing is turn-local array algebra
+    toks = F.split(F.col("text"), " ")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(i.cast("int").alias("pos"), t.alias("token"))
     )
-    joined = trig.join(ents, on=["conv_id", "turn_idx"]).where(
-        (F.abs(F.col("arg_pos") - F.col("trigger_ix")) <= cfg.max_arg_distance)
-        & (F.col("arg_pos") != F.col("trigger_ix"))
-    )
-    return joined.select(
+    base = turns.select(
         "conv_id",
         "turn_idx",
-        "trigger_ix",
-        "event_type",
-        F.col("arg_pos").alias("arg_start"),
-        F.col("arg_pos").alias("arg_end"),
-        "arg_surface",
-        F.when(F.col("arg_pos") < F.col("trigger_ix"), F.lit("ARG_BEFORE"))
+        F.filter(indexed, lambda x: _entity_label(x["token"]).isNotNull()).alias("_ents"),
+        F.filter(indexed, lambda x: x["token"].isin(list(PREDICATES))).alias("_trigs"),
+    )
+    ents, trigs = F.col("_ents"), F.col("_trigs")
+    pairs = F.flatten(
+        F.transform(
+            trigs,
+            lambda tr: F.transform(
+                F.filter(
+                    ents,
+                    lambda a: (F.abs(a["pos"] - tr["pos"]) <= cfg.max_arg_distance)
+                    & (a["pos"] != tr["pos"]),
+                ),
+                lambda a: F.struct(
+                    tr["pos"].alias("trigger_ix"),
+                    tr["token"].alias("trig_tok"),
+                    a["pos"].alias("arg_pos"),
+                    a["token"].alias("arg_surface"),
+                ),
+            ),
+        )
+    )
+    return base.select(
+        "conv_id", "turn_idx", F.explode(pairs).alias("e")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("e.trigger_ix").cast("int").alias("trigger_ix"),
+        F.upper(F.col("e.trig_tok")).alias("event_type"),
+        F.col("e.arg_pos").cast("int").alias("arg_start"),
+        F.col("e.arg_pos").cast("int").alias("arg_end"),
+        F.col("e.arg_surface").alias("arg_surface"),
+        F.when(F.col("e.arg_pos") < F.col("e.trigger_ix"), F.lit("ARG_BEFORE"))
         .otherwise(F.lit("ARG_AFTER"))
         .alias("role"),
     )

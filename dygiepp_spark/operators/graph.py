@@ -30,11 +30,14 @@ from pyspark.sql import DataFrame, functions as F
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Edges (u,v) → for each node, link larger neighbors to the min of the
-    closed neighborhood."""
+    closed neighborhood. One window shuffle (not groupBy + re-join: the
+    window reuses the hash partitioning it creates)."""
+    from pyspark.sql import Window
+
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    w = Window.partitionBy("u")
     return (
-        sym.join(m, on="u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -45,15 +48,66 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """Edges oriented big→small; link each node's small neighbors and itself
     to the minimum small neighbor."""
+    from pyspark.sql import Window
+
     directed = e.select(
         F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
     ).where(F.col("a") != F.col("b"))
-    m = directed.groupBy("a").agg(F.min("b").alias("m"))
-    linked = directed.join(m, on="a")
+    w = Window.partitionBy("a")
+    linked = directed.withColumn("m", F.min("b").over(w))
     out = linked.select(F.col("b").alias("u"), F.col("m").alias("v")).unionByName(
         linked.select(F.col("a").alias("u"), F.col("m").alias("v"))
     )
     return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_grouped(
+    edges: DataFrame,
+    group_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components for graphs that are UNIONS OF SMALL GRAPHS keyed
+    by `group_col` (e.g. within-conversation coref: edges never cross
+    conversations). One groupBy shuffle + per-group union-find in a pandas
+    UDF — no iterative rounds at all. The generic iterative algorithm below
+    is for graphs without such a key (cross-document canonicalization).
+
+    Per-group edge counts must fit one task (true for conversations; the
+    skew module salts pathological ones). Returns (group, node, component),
+    component = min node id in the component.
+    """
+    import pandas as pd
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["u"], pdf["v"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {n: find(n) for n in parent}
+        # normalize roots to min member (find already yields min: unions
+        # always parent the larger root under the smaller)
+        out = pd.DataFrame({"node": list(comp.keys()), "component": list(comp.values())})
+        out.insert(0, "group", pdf["group"].iloc[0])
+        return out
+
+    typed = edges.select(
+        F.col(group_col).alias("group"), F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    node_type = dict(typed.dtypes)["u"]
+    return typed.groupBy("group").applyInPandas(
+        uf, schema=f"group string, node {node_type}, component {node_type}"
+    )
 
 
 def connected_components(
@@ -87,7 +141,9 @@ def connected_components(
 
     fp = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint action below materializes it —
+        # one job per round instead of two, lineage still truncated
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # converged when the edge set is stable (star graphs are fixed
         # points of both transforms); edge sets are distinct() so a
         # (count, hash-sum) fingerprint detects any change
