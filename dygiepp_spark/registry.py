@@ -22,6 +22,7 @@ from dygiepp_spark.oracle_sql import q, raw_score
 from dygiepp_spark.tables import read_turns
 
 CFG = PipelineConfig()
+_CFGD = CFG.max_arg_distance
 
 
 def _longs(df: DataFrame) -> DataFrame:
@@ -555,6 +556,129 @@ _SQL: dict[str, str] = {
     ),
 }
 
+def gold_align_coref(spark, sf_dir):
+    """C4 — per-span gold cluster id, −1 when none (dygie.py:70-78);
+    aggregated per turn."""
+    t = _turns(spark, sf_dir)
+    sp = spans.enumerate_spans(t, CFG)
+    cl = coref.clusters_via_components(t)
+    aligned = spans.align_cluster_ids(sp, cl)
+    return _longs(
+        aligned.groupBy("conv_id", "turn_idx").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("gold_cluster_id") >= 0, 1).otherwise(0)).alias("n_clustered"),
+        )
+    )
+
+
+def gold_align_relations(spark, sf_dir):
+    """C5 — gold span-pairs mapped to positional indices in the enumerated
+    span list (dygie.py:80-95): relation endpoints become span ordinals."""
+    from pyspark.sql import Window
+
+    t = _turns(spark, sf_dir)
+    sp = spans.enumerate_spans(t, CFG)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("start", "end")
+    indexed = sp.withColumn("span_ix", F.row_number().over(w) - 1)
+    gold = extract.relation_triples(t, CFG)
+    s1 = indexed.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("subj_start"), F.col("end").alias("subj_end"),
+        F.col("span_ix").alias("subj_span_ix"),
+    )
+    s2 = indexed.select(
+        "conv_id", "turn_idx",
+        F.col("start").alias("obj_start"), F.col("end").alias("obj_end"),
+        F.col("span_ix").alias("obj_span_ix"),
+    )
+    out = gold.join(s1, on=["conv_id", "turn_idx", "subj_start", "subj_end"]).join(
+        s2, on=["conv_id", "turn_idx", "obj_start", "obj_end"]
+    )
+    return _longs(
+        out.select(
+            "conv_id", "turn_idx", "subj_span_ix", "obj_span_ix", "pred"
+        )
+    )
+
+
+def gold_align_events(spark, sf_dir):
+    """C6 — per-token trigger labels + (trigger, arg-span) role alignment
+    counts (dygie.py:97-114)."""
+    t = _turns(spark, sf_dir)
+    trig = extract.event_triggers(t)
+    args = extract.event_arguments(t, CFG)
+    tc = trig.groupBy("conv_id", "turn_idx").agg(F.count(F.lit(1)).alias("n_triggers"))
+    ac = args.groupBy("conv_id", "turn_idx").agg(F.count(F.lit(1)).alias("n_args"))
+    return _longs(
+        tc.join(ac, on=["conv_id", "turn_idx"], how="full").na.fill(
+            {"n_triggers": 0, "n_args": 0}
+        )
+    )
+
+
+def trigger_metrics(spark, sf_dir):
+    """F4 — trigger id-match (offset) and class-match (offset+label) P/R
+    (event_metrics.py:47-56); pred = all triggers, gold = non-HASH types."""
+    t = _turns(spark, sf_dir)
+    pred = extract.event_triggers(t)
+    gold = pred.where(F.col("event_type") != "HASH")
+    id_m = metrics.micro_prf(
+        pred, gold, ["conv_id", "turn_idx", "trigger_ix"], task="trig_id"
+    )
+    cls_m = metrics.micro_prf(
+        pred, gold, ["conv_id", "turn_idx", "trigger_ix", "event_type"], task="trig_class"
+    )
+    return id_m.unionByName(cls_m)
+
+
+def argument_metrics(spark, sf_dir):
+    """F5 — argument match on (span, event_type, role), trigger offset NOT
+    required to match (event_metrics.py:58-89); pred at distance 3, gold at
+    distance 2."""
+    t = _turns(spark, sf_dir)
+    pred = extract.event_arguments(t, CFG)
+    gold = extract.event_arguments(t, PipelineConfig(max_arg_distance=2))
+    keys = ["conv_id", "turn_idx", "arg_start", "arg_end", "event_type", "role"]
+    return metrics.micro_prf(pred, gold, keys, task="arg_class")
+
+
+def multi_trigger_stats(spark, sf_dir):
+    """F8 — fraction of argument spans attached to >1 trigger
+    (event_metrics.py:126-163)."""
+    return metrics.multi_trigger_stats(
+        extract.event_arguments(_turns(spark, sf_dir), CFG)
+    )
+
+
+def pair_features(spark, sf_dir):
+    """D12 — trigger–argument pair features: distance =
+    min(|trig−start|, |trig−end|) (0 if inside), before/inside flags,
+    log-bucketed distance (events.py:222-266)."""
+    args = extract.event_arguments(_turns(spark, sf_dir), CFG)
+    inside = (F.col("trigger_ix") >= F.col("arg_start")) & (
+        F.col("trigger_ix") <= F.col("arg_end")
+    )
+    dist = F.when(inside, F.lit(0)).otherwise(
+        F.least(
+            F.abs(F.col("trigger_ix") - F.col("arg_start")),
+            F.abs(F.col("trigger_ix") - F.col("arg_end")),
+        )
+    )
+    return _longs(
+        args.select(
+            "conv_id",
+            "turn_idx",
+            "trigger_ix",
+            "arg_start",
+            "arg_end",
+            dist.cast("int").alias("distance"),
+            (F.col("arg_end") < F.col("trigger_ix")).alias("arg_before"),
+            inside.alias("trig_inside_arg"),
+            pruning.distance_bucket_expr(dist).alias("distance_bucket"),
+        )
+    )
+
+
 # ------------------------------------------------- corpus-level operators
 
 def _docs(spark, sf_dir):
@@ -664,7 +788,144 @@ def embedding_cosine_topk(spark, sf_dir):
 
 from dygiepp_spark import oracle_sql_corpus as _c  # noqa: E402
 
+def _args_sql(maxd: int) -> str:
+    return f"""SELECT tr.conv_id, tr.turn_idx, tr.pos AS trigger_ix,
+         upper(tr.token) AS event_type, s.start AS arg_start,
+         s."end" AS arg_end,
+         CASE WHEN s.start < tr.pos THEN 'ARG_BEFORE' ELSE 'ARG_AFTER' END AS role
+  FROM preds tr JOIN singles s
+    ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+  WHERE abs(s.start - tr.pos) <= {maxd} AND s.start != tr.pos"""
+
+
+def _prf_sql(task: str, keys: str, pred_cte: str, gold_cte: str) -> str:
+    return f"""WITH p AS (SELECT DISTINCT {keys} FROM ({pred_cte})),
+g AS (SELECT DISTINCT {keys} FROM ({gold_cte})),
+m AS (SELECT * FROM p INTERSECT SELECT * FROM g),
+c AS (SELECT (SELECT COUNT(*) FROM p) AS n_pred,
+             (SELECT COUNT(*) FROM g) AS n_gold,
+             (SELECT COUNT(*) FROM m) AS n_matched)
+SELECT 'transcripts' AS dataset, '{task}' AS task, n_pred, n_gold, n_matched,
+       round(n_matched / n_pred, 4) AS precision,
+       round(n_matched / n_gold, 4) AS recall,
+       round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+             / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+FROM c"""
+
+
+_SQL.update(
+    {
+        "gold_align_coref": q(
+            f"""SELECT s.conv_id, CAST(s.turn_idx AS {_B}) AS turn_idx,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clustered
+        FROM span_surf s
+        LEFT JOIN clusters c
+          ON s.conv_id = c.conv_id AND s.turn_idx = c.turn_idx
+         AND s.start = c.start AND s."end" = c."end"
+        GROUP BY s.conv_id, s.turn_idx"""
+        ),
+        "gold_align_relations": q(
+            f"""WITH sp_ix AS (
+          SELECT conv_id, turn_idx, start, "end",
+                 row_number() OVER (
+                   PARTITION BY conv_id, turn_idx ORDER BY start, "end") - 1 AS span_ix
+          FROM spans
+        )
+        SELECT t.conv_id, CAST(t.turn_idx AS {_B}) AS turn_idx,
+               CAST(a.span_ix AS {_B}) AS subj_span_ix,
+               CAST(b.span_ix AS {_B}) AS obj_span_ix, t.pred
+        FROM triples t
+        JOIN sp_ix a ON t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+                    AND t.subj_start = a.start AND t.subj_end = a."end"
+        JOIN sp_ix b ON t.conv_id = b.conv_id AND t.turn_idx = b.turn_idx
+                    AND t.obj_start = b.start AND t.obj_end = b."end" """
+        ),
+        "gold_align_events": q(
+            f"""WITH tc AS (
+          SELECT conv_id, turn_idx, COUNT(*) AS n_triggers FROM preds GROUP BY 1, 2
+        ), ac AS (
+          SELECT conv_id, turn_idx, COUNT(*) AS n_args FROM ({_args_sql(_CFGD)}) GROUP BY 1, 2
+        )
+        SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               COALESCE(n_triggers, 0) AS n_triggers,
+               COALESCE(n_args, 0) AS n_args
+        FROM tc FULL JOIN ac USING (conv_id, turn_idx)"""
+        ),
+        "trigger_metrics": q(
+            """WITH p1 AS (SELECT DISTINCT conv_id, turn_idx, pos FROM preds),
+g1 AS (SELECT DISTINCT conv_id, turn_idx, pos FROM preds WHERE upper(token) != 'HASH'),
+m1 AS (SELECT * FROM p1 INTERSECT SELECT * FROM g1),
+p2 AS (SELECT DISTINCT conv_id, turn_idx, pos, upper(token) AS event_type FROM preds),
+g2 AS (SELECT DISTINCT conv_id, turn_idx, pos, upper(token) AS event_type FROM preds
+       WHERE upper(token) != 'HASH'),
+m2 AS (SELECT * FROM p2 INTERSECT SELECT * FROM g2),
+c AS (
+  SELECT 'trig_id' AS task,
+         (SELECT COUNT(*) FROM p1) AS n_pred,
+         (SELECT COUNT(*) FROM g1) AS n_gold,
+         (SELECT COUNT(*) FROM m1) AS n_matched
+  UNION ALL
+  SELECT 'trig_class',
+         (SELECT COUNT(*) FROM p2),
+         (SELECT COUNT(*) FROM g2),
+         (SELECT COUNT(*) FROM m2)
+)
+SELECT 'transcripts' AS dataset, task, n_pred, n_gold, n_matched,
+       round(n_matched / n_pred, 4) AS precision,
+       round(n_matched / n_gold, 4) AS recall,
+       round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+             / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+FROM c"""
+        ),
+        "argument_metrics": q(
+            _prf_sql(
+                "arg_class",
+                "conv_id, turn_idx, arg_start, arg_end, event_type, role",
+                _args_sql(_CFGD),
+                _args_sql(2),
+            )
+        ),
+        "multi_trigger_stats": q(
+            f"""WITH per_arg AS (
+          SELECT conv_id, turn_idx, arg_start, arg_end,
+                 COUNT(DISTINCT trigger_ix) AS nt
+          FROM ({_args_sql(_CFGD)}) GROUP BY 1, 2, 3, 4
+        )
+        SELECT COUNT(*) AS n_args,
+               SUM(CASE WHEN nt > 1 THEN 1 ELSE 0 END) AS n_multi,
+               round(AVG(CASE WHEN nt > 1 THEN 1.0 ELSE 0.0 END), 4) AS multi_frac
+        FROM per_arg"""
+        ),
+        "pair_features": q(
+            f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(trigger_ix AS {_B}) AS trigger_ix,
+               CAST(arg_start AS {_B}) AS arg_start,
+               CAST(arg_end AS {_B}) AS arg_end,
+               CAST(dist AS {_B}) AS distance,
+               arg_end < trigger_ix AS arg_before,
+               trigger_ix BETWEEN arg_start AND arg_end AS trig_inside_arg,
+               CAST(CASE WHEN dist <= 4 THEN dist WHEN dist <= 7 THEN 5
+                    WHEN dist <= 15 THEN 6 WHEN dist <= 31 THEN 7
+                    WHEN dist <= 63 THEN 8 ELSE 9 END AS {_B}) AS distance_bucket
+        FROM (
+          SELECT *, CASE WHEN trigger_ix BETWEEN arg_start AND arg_end THEN 0
+                    ELSE least(abs(trigger_ix - arg_start), abs(trigger_ix - arg_end))
+                    END AS dist
+          FROM ({_args_sql(_CFGD)})
+        )"""
+        ),
+    }
+)
+
 QUERIES: dict[str, QuerySpec] = {
+    "gold_align_coref": QuerySpec(gold_align_coref, _SQL["gold_align_coref"]),
+    "gold_align_relations": QuerySpec(gold_align_relations, _SQL["gold_align_relations"]),
+    "gold_align_events": QuerySpec(gold_align_events, _SQL["gold_align_events"]),
+    "trigger_metrics": QuerySpec(trigger_metrics, _SQL["trigger_metrics"]),
+    "argument_metrics": QuerySpec(argument_metrics, _SQL["argument_metrics"]),
+    "multi_trigger_stats": QuerySpec(multi_trigger_stats, _SQL["multi_trigger_stats"]),
+    "pair_features": QuerySpec(pair_features, _SQL["pair_features"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
     "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),

@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: incremental within-conversation
+coreference edges via ``applyInPandasWithState``.
+
+State per conv_id: the doc-level position of the last mention of each
+surface form, plus the conversation's running token offset. Each
+micro-batch appends that conversation's new turns, emits one antecedent
+edge per new mention of an already-seen surface (the streaming twin of
+operators.coref.antecedent_edges), and updates state. Downstream, clusters
+form in batch via connected components over the accumulated edge table —
+unbounded cluster state never lives in the stream.
+
+Assumes per-conversation in-order arrival (turn_idx monotone across
+micro-batches), which the file/Kafka source provides when producers write
+turns in order; late turns are the watermark's problem, mirroring the
+session-window assembly in streaming.ingest.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dygiepp_spark.functions.lexicons import ENTITY_TYPES
+
+OUTPUT_SCHEMA = "conv_id string, doc_pos long, ant_doc_pos long, surface string"
+STATE_SCHEMA = "last_pos string, total_tokens long"
+
+
+def _edges_for_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        last_pos_json, total_tokens = state.get
+        last_pos: dict[str, int] = json.loads(last_pos_json)
+    else:
+        last_pos, total_tokens = {}, 0
+
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        for text in pdf["text"]:
+            toks = text.split(" ")
+            for i, tok in enumerate(toks):
+                if tok in ENTITY_TYPES:
+                    pos = total_tokens + i
+                    prev = last_pos.get(tok)
+                    if prev is not None:
+                        rows.append((conv_id, pos, prev, tok))
+                    last_pos[tok] = pos
+            total_tokens += len(toks)
+
+    state.update((json.dumps(last_pos), total_tokens))
+    state.setTimeoutDuration(30 * 60 * 1000)  # idle conversations expire
+    yield pd.DataFrame(rows, columns=["conv_id", "doc_pos", "ant_doc_pos", "surface"])
+
+
+def incremental_coref_edges(turns_stream: DataFrame) -> DataFrame:
+    """Streaming DataFrame of antecedent edges, exactly matching the batch
+    operator on in-order input (pinned by pytest)."""
+    return (
+        turns_stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _edges_for_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
