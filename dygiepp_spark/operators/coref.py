@@ -39,18 +39,22 @@ def coref_mentions(turns: DataFrame) -> DataFrame:
     )
 
 
-def antecedent_edges(mentions: DataFrame) -> DataFrame:
+def antecedent_edges(mentions: DataFrame, max_gap: int | None = None) -> DataFrame:
     """E3 stand-in decode — one edge per mention to its nearest previous
-    same-surface mention (NULL-antecedent mentions emit no edge)."""
+    same-surface mention (NULL-antecedent mentions emit no edge).
+    `max_gap` bounds the doc-position distance, the analogue of the
+    reference's max_antecedents window (coref.py:471-526)."""
     w = Window.partitionBy("conv_id", "surface").orderBy("doc_pos")
-    return (
+    e = (
         mentions.withColumn("ant_doc_pos", F.lag("doc_pos").over(w))
         .where(F.col("ant_doc_pos").isNotNull())
-        .select("conv_id", "doc_pos", "ant_doc_pos")
     )
+    if max_gap is not None:
+        e = e.where(F.col("doc_pos") - F.col("ant_doc_pos") <= max_gap)
+    return e.select("conv_id", "doc_pos", "ant_doc_pos")
 
 
-def clusters_via_components(turns: DataFrame) -> DataFrame:
+def clusters_via_components(turns: DataFrame, max_gap: int | None = None) -> DataFrame:
     """E4 — cluster formation as distributed connected components.
 
     Coref graphs never cross conversations, so this uses the grouped CC
@@ -62,7 +66,7 @@ def clusters_via_components(turns: DataFrame) -> DataFrame:
     from dygiepp_spark.operators.graph import connected_components_grouped
 
     mentions = coref_mentions(turns)
-    edges = antecedent_edges(mentions)
+    edges = antecedent_edges(mentions, max_gap=max_gap)
     comp = connected_components_grouped(
         edges.select(
             "conv_id",

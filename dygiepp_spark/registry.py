@@ -679,6 +679,35 @@ def pair_features(spark, sf_dir):
     )
 
 
+def collate_assignment(spark, sf_dir):
+    """B6 — pack turns into length-homogeneous pseudo-docs
+    (collate.py:26-66); deterministic within-length ranking."""
+    from dygiepp_spark.operators.collate import collate
+
+    out = collate(_turns(spark, sf_dir), max_sentences_per_doc=16)
+    return _longs(out)
+
+
+def coref_pair_metrics(spark, sf_dir):
+    """F6 — coref quality as mention-pair P/R (the pairwise component of
+    B³/CEAF, coref.py:461-469): pred = clustering with antecedent gap ≤ 40,
+    gold = unrestricted clustering."""
+    t = _turns(spark, sf_dir)
+
+    def pairs(cl):
+        a = cl.select("conv_id", "cluster_id", F.col("doc_pos").alias("pa"))
+        b = cl.select("conv_id", "cluster_id", F.col("doc_pos").alias("pb"))
+        return (
+            a.join(b, on=["conv_id", "cluster_id"])
+            .where(F.col("pa") < F.col("pb"))
+            .select("conv_id", "pa", "pb")
+        )
+
+    pred = pairs(coref.clusters_via_components(t, max_gap=40))
+    gold = pairs(coref.clusters_via_components(t))
+    return metrics.micro_prf(pred, gold, ["conv_id", "pa", "pb"], task="coref_pairs")
+
+
 # ------------------------------------------------- corpus-level operators
 
 def _docs(spark, sf_dir):
@@ -897,6 +926,57 @@ FROM c"""
                round(AVG(CASE WHEN nt > 1 THEN 1.0 ELSE 0.0 END), 4) AS multi_frac
         FROM per_arg"""
         ),
+        "collate_assignment": q(
+            f"""SELECT concat_ws('_', 'pseudo', CAST(n_tokens AS VARCHAR),
+                      CAST(rk // 16 AS VARCHAR)) AS pseudo_doc_key,
+               CAST(rk % 16 AS {_B}) AS pseudo_sent_ix,
+               conv_id AS orig_conv_id,
+               CAST(turn_idx AS {_B}) AS orig_turn_idx,
+               text, CAST(n_tokens AS {_B}) AS n_tokens
+        FROM (
+          SELECT t.conv_id, t.turn_idx, t.text, st.n_tokens,
+                 row_number() OVER (
+                   PARTITION BY st.n_tokens
+                   ORDER BY t.conv_id, t.turn_idx) - 1 AS rk
+          FROM turns t
+          JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
+        )"""
+        ),
+        "coref_pair_metrics": q(
+            """WITH seg AS (
+          SELECT conv_id, surface, doc_pos,
+                 SUM(CASE WHEN prev IS NULL OR doc_pos - prev > 40 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS segment
+          FROM (
+            SELECT conv_id, surface, doc_pos,
+                   lag(doc_pos) OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS prev
+            FROM cmentions
+          )
+        ),
+        p AS (
+          SELECT a.conv_id, a.doc_pos AS pa, b.doc_pos AS pb
+          FROM seg a JOIN seg b
+            ON a.conv_id = b.conv_id AND a.surface = b.surface
+           AND a.segment = b.segment AND a.doc_pos < b.doc_pos
+        ),
+        g AS (
+          SELECT a.conv_id, a.doc_pos AS pa, b.doc_pos AS pb
+          FROM cmentions a JOIN cmentions b
+            ON a.conv_id = b.conv_id AND a.surface = b.surface
+           AND a.doc_pos < b.doc_pos
+        ),
+        m AS (SELECT * FROM p INTERSECT SELECT * FROM g),
+        c AS (SELECT (SELECT COUNT(*) FROM p) AS n_pred,
+                     (SELECT COUNT(*) FROM g) AS n_gold,
+                     (SELECT COUNT(*) FROM m) AS n_matched)
+        SELECT 'transcripts' AS dataset, 'coref_pairs' AS task,
+               n_pred, n_gold, n_matched,
+               round(n_matched / n_pred, 4) AS precision,
+               round(n_matched / n_gold, 4) AS recall,
+               round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                     / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+        FROM c"""
+        ),
         "pair_features": q(
             f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
                CAST(trigger_ix AS {_B}) AS trigger_ix,
@@ -926,6 +1006,8 @@ QUERIES: dict[str, QuerySpec] = {
     "argument_metrics": QuerySpec(argument_metrics, _SQL["argument_metrics"]),
     "multi_trigger_stats": QuerySpec(multi_trigger_stats, _SQL["multi_trigger_stats"]),
     "pair_features": QuerySpec(pair_features, _SQL["pair_features"]),
+    "collate_assignment": QuerySpec(collate_assignment, _SQL["collate_assignment"]),
+    "coref_pair_metrics": QuerySpec(coref_pair_metrics, _SQL["coref_pair_metrics"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
     "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),

@@ -89,6 +89,95 @@ def write_jsonl_docs(turns: DataFrame, path: str, dataset: str = "transcripts") 
     turns_to_doc_json(turns, dataset).coalesce(1).write.mode("overwrite").text(path)
 
 
+def predictions_to_doc_json(
+    turns: DataFrame,
+    mentions: DataFrame | None = None,
+    triples: DataFrame | None = None,
+    dataset: str = "transcripts",
+) -> DataFrame:
+    """E8 — merge predictions back onto per-document JSON in the reference's
+    prediction format: per-sentence ``predicted_ner`` = [start, end, label,
+    raw_score, softmax_score] with DOC-LEVEL offsets, ``predicted_relations``
+    = [s1, e1, s2, e2, label, raw, softmax]
+    (reference: dygie/models/dygie.py:289-334; format doc/data.md:108-116;
+    scores rounded to 4 decimals per document.py:10-11).
+    """
+    from dygiepp_spark.operators.assembly import with_sentence_starts
+
+    base = with_sentence_starts(turns).select(
+        "conv_id", "turn_idx", "text", "sentence_start"
+    )
+
+    def _nest(pred: DataFrame, cols: list, name: str) -> DataFrame:
+        per_turn = pred.groupBy("conv_id", "turn_idx").agg(
+            F.sort_array(F.collect_list(F.array(*cols))).alias(name)
+        )
+        return per_turn
+
+    df = base
+    if mentions is not None:
+        m = mentions.join(
+            base.select("conv_id", "turn_idx", "sentence_start"),
+            on=["conv_id", "turn_idx"],
+        )
+        nested = _nest(
+            m,
+            [
+                (F.col("start") + F.col("sentence_start")).cast("string"),
+                (F.col("end") + F.col("sentence_start")).cast("string"),
+                F.col("label"),
+                F.round("raw_score", 4).cast("string"),
+                F.round("softmax_score", 4).cast("string"),
+            ],
+            "predicted_ner",
+        )
+        df = df.join(nested, on=["conv_id", "turn_idx"], how="left")
+    if triples is not None:
+        t = triples.join(
+            base.select("conv_id", "turn_idx", "sentence_start"),
+            on=["conv_id", "turn_idx"],
+        )
+        nested = _nest(
+            t,
+            [
+                (F.col("subj_start") + F.col("sentence_start")).cast("string"),
+                (F.col("subj_end") + F.col("sentence_start")).cast("string"),
+                (F.col("obj_start") + F.col("sentence_start")).cast("string"),
+                (F.col("obj_end") + F.col("sentence_start")).cast("string"),
+                F.col("pred"),
+                F.round("raw_score", 4).cast("string"),
+                F.round("softmax_score", 4).cast("string"),
+            ],
+            "predicted_relations",
+        )
+        df = df.join(nested, on=["conv_id", "turn_idx"], how="left")
+
+    packed = df.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "turn_idx",
+                    F.split("text", " ").alias("tokens"),
+                    F.coalesce("predicted_ner", F.array()).alias("pner"),
+                    F.coalesce("predicted_relations", F.array()).alias("prel"),
+                )
+            )
+        ).alias("_t")
+    )
+    return packed.select(
+        F.to_json(
+            F.struct(
+                F.col("conv_id").alias("doc_key"),
+                F.lit(dataset).alias("dataset"),
+                F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
+                F.expr("transform(_t, x -> x.pner)").alias("predicted_ner"),
+                F.expr("transform(_t, x -> x.prel)").alias("predicted_relations"),
+            )
+        ).alias("json"),
+        F.col("conv_id"),
+    )
+
+
 def gold_ner_from_docs(docs: DataFrame) -> DataFrame:
     """Explode reference-format gold NER ([doc-level start, end, label] per
     sentence, doc/data.md:35-43) into engine mention rows with turn-relative

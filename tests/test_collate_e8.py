@@ -1,0 +1,49 @@
+"""B6/B7 collate-uncollate roundtrip + E8 prediction merge
+(reference: collate_test.py:57-106 roundtrip; dygie.py:289-334 merge)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from dygiepp_spark.operators import extract
+from dygiepp_spark.operators.collate import collate, uncollate
+from dygiepp_spark.sources.jsonl import predictions_to_doc_json
+from dygiepp_spark.synth import synth_turns
+
+
+def test_collate_uncollate_roundtrip(spark):
+    turns = synth_turns(spark, n_convs=15, seed=6)
+    col = collate(turns, max_sentences_per_doc=4)
+    # pseudo-docs are length-homogeneous and ≤ 4 sentences
+    stats = col.groupBy("pseudo_doc_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("n_tokens").alias("n_lens"),
+    )
+    assert stats.where("n > 4 OR n_lens > 1").count() == 0
+    # roundtrip restores the corpus exactly (invariant 4, FIXTURES.md §5)
+    back = uncollate(col)
+    assert back.where("NOT is_dense").count() == 0
+    orig = {(r["conv_id"], r["turn_idx"]): r["text"] for r in turns.collect()}
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in back.collect()}
+    assert got == orig
+
+
+def test_prediction_merge_reference_format(tiny_turns, spark):
+    """E8 — merged JSON carries predicted_* with DOC-LEVEL offsets and
+    4-decimal scores (doc/data.md:108-116)."""
+    mentions = extract.ner_mentions(tiny_turns)
+    triples = extract.relation_triples(tiny_turns)
+    out = predictions_to_doc_json(tiny_turns, mentions, triples)
+    docs = {r["conv_id"]: json.loads(r["json"]) for r in out.collect()}
+    a = docs["A"]
+    assert [len(s) for s in a["sentences"]] == [7, 9, 2]
+    # turn 1 starts at doc offset 7; mention "big table" (2,3) → (9,10)
+    ner_t1 = a["predicted_ner"][1]
+    assert ["9", "10"] in [m[:2] for m in ner_t1]
+    # relations on turn 0: customer(1) JOIN order(5) at doc level
+    rel_t0 = a["predicted_relations"][0]
+    assert any(r[:5] == ["1", "1", "5", "5", "JOIN"] for r in rel_t0)
+    # turn with no predictions yields empty lists, not nulls
+    assert a["predicted_ner"][2] == [["16", "16", "ACTOR", "1.6875", "0.8438"]]
+    b = docs["B"]
+    assert b["predicted_relations"] == [[], []]

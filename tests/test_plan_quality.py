@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: pin the scale properties the operators
+were designed for (column pruning, broadcast dictionary joins, zero-shuffle
+stateless heads). A refactor that silently reintroduces a shuffle or a
+full-width scan fails here, not in production."""
+
+import pytest
+
+from dygiepp_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].build(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_scans_are_column_pruned(spark):
+    """Extraction reads only (doc_id, text) from the documents table."""
+    plan = _plan(spark, "ner_mentions")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "doc_id" in line and "text" in line
+            assert "lang" not in line and "source" not in line and "n_chars" not in line
+
+
+@pytest.mark.parametrize("name", ["relation_triples", "event_arguments", "ner_mentions"])
+def test_stateless_heads_have_no_shuffle(spark, name):
+    """The single-pass array formulation keeps the stateless extraction
+    heads shuffle-free (ner_mentions' lead() window partitions by
+    (conv, turn) — one shuffle is allowed there, none elsewhere)."""
+    plan = _plan(spark, name)
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "BroadcastExchange" not in line
+    )
+    allowed = 1 if name == "ner_mentions" else 0
+    assert n_exchanges <= allowed, f"{name}: {n_exchanges} exchanges\n{plan[:2000]}"
+
+
+def test_alias_link_is_broadcast(spark):
+    """Entity linking must broadcast the alias dictionary, never shuffle
+    the triple table."""
+    plan = _plan(spark, "canonical_triples")
+    assert "BroadcastHashJoin" in plan
+    # the only non-broadcast exchange is the final dedup aggregation
+    shuffles = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 2, shuffles  # pred tie-break window was removed; agg remains
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _plan(spark, "exact_dedup")
+    shuffles = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 1, shuffles
