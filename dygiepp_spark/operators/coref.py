@@ -84,6 +84,41 @@ def clusters_via_components(turns: DataFrame, max_gap: int | None = None) -> Dat
     )
 
 
+def propagate_scores(
+    mentions: DataFrame, edges: DataFrame, iterations: int = 1
+) -> DataFrame:
+    """D10 — coref propagation: iteratively blend each mention's score with
+    its antecedent's (reference coref.py:114-157: gated update
+    f·span + (1−f)·entity, `coref_prop` iterations from config; the
+    lightweight configs set 0 and skip it, README.md:321-323).
+
+    Stand-in update with gate f = 1/2: score ← (score + antecedent_score)/2
+    (dyadic, so bitwise-stable). Each iteration is one self-join on the
+    antecedent edge list — the distributed analogue of the reference's
+    in-tensor attention pass; iteration count is a config constant, so the
+    plan depth is bounded."""
+    out = mentions
+    for _ in range(iterations):
+        ant = out.select(
+            "conv_id",
+            F.col("doc_pos").alias("ant_doc_pos"),
+            F.col("raw_score").alias("_ant_score"),
+        )
+        out = (
+            out.join(edges, on=["conv_id", "doc_pos"], how="left")
+            .join(ant, on=["conv_id", "ant_doc_pos"], how="left")
+            .withColumn(
+                "raw_score",
+                F.when(
+                    F.col("_ant_score").isNotNull(),
+                    (F.col("raw_score") + F.col("_ant_score")) / 2,
+                ).otherwise(F.col("raw_score")),
+            )
+            .drop("ant_doc_pos", "_ant_score")
+        )
+    return out
+
+
 def clusters_via_greedy(turns: DataFrame) -> DataFrame:
     """E4 twin — the reference's sequential greedy walk, per conversation,
     inside applyInPandas (document-at-a-time exactly like the reference;

@@ -679,6 +679,16 @@ def pair_features(spark, sf_dir):
     )
 
 
+def coref_propagation(spark, sf_dir):
+    """D10 — one iteration of coref score propagation along antecedent
+    edges (coref.py:114-157; gate f = 1/2 stand-in)."""
+    t = _turns(spark, sf_dir)
+    mentions = coref.coref_mentions(t)
+    edges = coref.antecedent_edges(mentions)
+    out = coref.propagate_scores(mentions, edges, iterations=1)
+    return _longs(out.select("conv_id", "turn_idx", "start", "doc_pos", "raw_score"))
+
+
 def collate_assignment(spark, sf_dir):
     """B6 — pack turns into length-homogeneous pseudo-docs
     (collate.py:26-66); deterministic within-length ranking."""
@@ -942,6 +952,23 @@ FROM c"""
           JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
         )"""
         ),
+        "coref_propagation": q(
+            f"""WITH cm2 AS (
+          SELECT conv_id, turn_idx, start, doc_pos,
+                 (((length(surface) * 7 + 3) % 16) / 16.0 + 1) AS raw_score,
+                 lag(doc_pos) OVER (
+                   PARTITION BY conv_id, surface ORDER BY doc_pos) AS ant
+          FROM cmentions
+        )
+        SELECT a.conv_id, CAST(a.turn_idx AS {_B}) AS turn_idx,
+               CAST(a.start AS {_B}) AS start,
+               CAST(a.doc_pos AS {_B}) AS doc_pos,
+               CASE WHEN b.doc_pos IS NOT NULL
+                    THEN (a.raw_score + b.raw_score) / 2
+                    ELSE a.raw_score END AS raw_score
+        FROM cm2 a
+        LEFT JOIN cm2 b ON a.conv_id = b.conv_id AND a.ant = b.doc_pos"""
+        ),
         "coref_pair_metrics": q(
             """WITH seg AS (
           SELECT conv_id, surface, doc_pos,
@@ -1007,6 +1034,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multi_trigger_stats": QuerySpec(multi_trigger_stats, _SQL["multi_trigger_stats"]),
     "pair_features": QuerySpec(pair_features, _SQL["pair_features"]),
     "collate_assignment": QuerySpec(collate_assignment, _SQL["collate_assignment"]),
+    "coref_propagation": QuerySpec(coref_propagation, _SQL["coref_propagation"]),
     "coref_pair_metrics": QuerySpec(coref_pair_metrics, _SQL["coref_pair_metrics"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
