@@ -25,6 +25,11 @@ HEADLINE = [
     "prune_topk",
     "event_arguments",
     "span_enum_counts",
+    "near_dup_pairs",
+    "simhash_values",
+    "embedding_dot_topk",
+    "lang_id_predict",
+    "quality_scores",
 ]
 
 
