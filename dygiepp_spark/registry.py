@@ -689,6 +689,38 @@ def coref_propagation(spark, sf_dir):
     return _longs(out.select("conv_id", "turn_idx", "start", "doc_pos", "raw_score"))
 
 
+def mention_label_rollup(spark, sf_dir):
+    """Classic-op coverage: ROLLUP aggregation over mention labels per
+    dataset route (the reference has no grouping sets — SURVEY §2.H — the
+    engine does)."""
+    m = extract.ner_mentions(_turns(spark, sf_dir), include_modifier_spans=False)
+    tagged = m.withColumn(
+        "route",
+        F.when(F.col("conv_id").cast("bigint") % 2 == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    return _longs(
+        tagged.rollup("route", "label").agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+def corpus_stats(spark, sf_dir):
+    """Corpus profile: exact counts + exact percentiles of turn length
+    (single global agg; the approximate-sketch variants are pytest-checked
+    against these exact values)."""
+    t = assembly.with_token_counts(_turns(spark, sf_dir))
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        F.min("n_tokens").cast("bigint").alias("min_len"),
+        F.max("n_tokens").cast("bigint").alias("max_len"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_len"),
+        F.expr("percentile(n_tokens, 0.95)").alias("p95_len"),
+    )
+
+
 def collate_assignment(spark, sf_dir):
     """B6 — pack turns into length-homogeneous pseudo-docs
     (collate.py:26-66); deterministic within-length ranking."""
@@ -952,6 +984,24 @@ FROM c"""
           JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
         )"""
         ),
+        "mention_label_rollup": q(
+            f"""SELECT CASE WHEN CAST(conv_id AS {_B}) % 2 = 0 THEN 'even' ELSE 'odd' END AS route,
+               label, COUNT(*) AS n_mentions
+        FROM singles
+        GROUP BY ROLLUP (
+          CASE WHEN CAST(conv_id AS {_B}) % 2 = 0 THEN 'even' ELSE 'odd' END,
+          label)"""
+        ),
+        "corpus_stats": q(
+            f"""SELECT COUNT(*) AS n_turns,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               CAST(SUM(n_tokens) AS {_B}) AS n_tokens_total,
+               CAST(MIN(n_tokens) AS {_B}) AS min_len,
+               CAST(MAX(n_tokens) AS {_B}) AS max_len,
+               quantile_cont(n_tokens, 0.5) AS median_len,
+               quantile_cont(n_tokens, 0.95) AS p95_len
+        FROM turn_stats"""
+        ),
         "coref_propagation": q(
             f"""WITH cm2 AS (
           SELECT conv_id, turn_idx, start, doc_pos,
@@ -1035,6 +1085,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pair_features": QuerySpec(pair_features, _SQL["pair_features"]),
     "collate_assignment": QuerySpec(collate_assignment, _SQL["collate_assignment"]),
     "coref_propagation": QuerySpec(coref_propagation, _SQL["coref_propagation"]),
+    "mention_label_rollup": QuerySpec(mention_label_rollup, _SQL["mention_label_rollup"]),
+    "corpus_stats": QuerySpec(corpus_stats, _SQL["corpus_stats"]),
     "coref_pair_metrics": QuerySpec(coref_pair_metrics, _SQL["coref_pair_metrics"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),

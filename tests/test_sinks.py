@@ -22,16 +22,12 @@ def test_triples_sink_bucketed_layout(spark):
         back = spark.read.parquet(f"{d}/t")
         assert back.count() == triples.count()
         # every conversation lands in exactly one bucket
-        spread = back.groupBy("conv_id").agg(
-            {"bucket": "min", "bucket": "max"}
-        )
         multi = (
             back.groupBy("conv_id")
             .agg({"bucket": "min"})
             .join(back.groupBy("conv_id").agg({"bucket": "max"}), on="conv_id")
         )
-        rows = multi.collect()
-        assert all(r["min(bucket)"] == r["max(bucket)"] for r in rows)
+        assert all(r["min(bucket)"] == r["max(bucket)"] for r in multi.collect())
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -46,8 +42,6 @@ def test_canonical_sink_partitioned_by_pred(spark):
         sinks.write_canonical_triples(canonical, f"{d}/c")
         preds = sorted(p for p in os.listdir(f"{d}/c") if p.startswith("pred="))
         assert preds  # one directory per predicate → partition pruning works
-        one = spark.read.parquet(f"{d}/c").where("pred = 'JOIN'")
-        plan = one._jdf.queryExecution().executedPlan().toString()
-        assert one.count() > 0
+        assert spark.read.parquet(f"{d}/c").where("pred = 'JOIN'").count() > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
