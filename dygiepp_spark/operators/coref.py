@@ -54,7 +54,9 @@ def antecedent_edges(mentions: DataFrame, max_gap: int | None = None) -> DataFra
     return e.select("conv_id", "doc_pos", "ant_doc_pos")
 
 
-def clusters_via_components(turns: DataFrame, max_gap: int | None = None) -> DataFrame:
+def clusters_via_components(
+    turns: DataFrame, max_gap: int | None = None, global_cc: bool = False
+) -> DataFrame:
     """E4 — cluster formation as distributed connected components.
 
     Coref graphs never cross conversations, so this uses the grouped CC
@@ -62,23 +64,48 @@ def clusters_via_components(turns: DataFrame, max_gap: int | None = None) -> Dat
     global algorithm — at any corpus size the cost is one hash shuffle of
     the edge list. Returns (conv_id, cluster_id, turn_idx, start, end,
     surface); cluster_id = min doc-position member; singleton mentions drop
-    (reference clusters have ≥2 members)."""
+    (reference clusters have ≥2 members).
+
+    `global_cc=True` switches to the iterative large/small-star algorithm
+    instead of per-conversation union-find — the escape hatch for corpora
+    whose largest conversation outgrows a single task (the grouped path
+    holds one conversation's mention graph in one Python worker; at ~10^7+
+    mentions per conversation prefer the global path, whose per-round
+    shuffles have no per-conversation hotspot). Both paths are pinned equal
+    by pytest."""
     from dygiepp_spark.operators.graph import connected_components_grouped
 
     mentions = coref_mentions(turns)
     edges = antecedent_edges(mentions, max_gap=max_gap)
-    comp = connected_components_grouped(
-        edges.select(
-            "conv_id",
-            F.col("doc_pos").alias("src"),
-            F.col("ant_doc_pos").alias("dst"),
-        ),
-        group_col="conv_id",
-    ).select(
-        F.col("group").alias("conv_id"),
-        F.col("node").alias("doc_pos"),
-        F.col("component").alias("cluster_id"),
-    )
+    if global_cc:
+        from dygiepp_spark.operators.graph import connected_components
+
+        e = edges.select(
+            _node_id(F.col("conv_id"), F.col("doc_pos")).alias("src"),
+            _node_id(F.col("conv_id"), F.col("ant_doc_pos")).alias("dst"),
+        )
+        comp = (
+            mentions.withColumn("node", _node_id(F.col("conv_id"), F.col("doc_pos")))
+            .join(connected_components(e, "src", "dst"), on="node", how="inner")
+            .select(
+                "conv_id",
+                "doc_pos",
+                F.split(F.col("component"), "#")[1].cast("bigint").alias("cluster_id"),
+            )
+        )
+    else:
+        comp = connected_components_grouped(
+            edges.select(
+                "conv_id",
+                F.col("doc_pos").alias("src"),
+                F.col("ant_doc_pos").alias("dst"),
+            ),
+            group_col="conv_id",
+        ).select(
+            F.col("group").alias("conv_id"),
+            F.col("node").alias("doc_pos"),
+            F.col("component").alias("cluster_id"),
+        )
     return mentions.join(comp, on=["conv_id", "doc_pos"], how="inner").select(
         "conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"
     )

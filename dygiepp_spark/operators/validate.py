@@ -1,0 +1,67 @@
+"""Input validation for the turns table.
+
+The reference rejects malformed documents at ingest: empty-string tokens
+are an error (doc/data.md:29), unknown fields are rejected unless
+_-prefixed (document.py:160-173), annotation keys must be consistent
+(dygie.py:163-181 raises DyGIEDataException). The engine's analogue is a
+validation report over the input contract (FIXTURES.md §1): callers either
+fail the run or quarantine flagged conversations — never silently process
+garbage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def validation_report(turns: DataFrame) -> DataFrame:
+    """One row per violating turn with a violation label. Checks:
+    - null/empty conv_id or text
+    - empty tokens (leading/trailing/double spaces → '' token, the
+      reference's hard error)
+    - duplicate (conv_id, turn_idx)
+    - non-dense turn_idx (gaps break the stable-ordering contract)
+    """
+    w = Window.partitionBy("conv_id", "turn_idx")
+    w_order = Window.partitionBy("conv_id").orderBy("turn_idx")
+    checked = (
+        turns.withColumn("_dup", F.count(F.lit(1)).over(w) > 1)
+        .withColumn("_prev", F.lag("turn_idx").over(w_order))
+        .withColumn(
+            "_gap",
+            F.when(F.col("_prev").isNull(), F.col("turn_idx") != 0).otherwise(
+                F.col("turn_idx") != F.col("_prev") + 1
+            ),
+        )
+    )
+    viol = F.array_compact(
+        F.array(
+            F.when(F.col("conv_id").isNull() | (F.col("conv_id") == ""), "null_conv_id"),
+            F.when(F.col("text").isNull() | (F.col("text") == ""), "empty_text"),
+            F.when(
+                F.col("text").isNotNull() & F.exists(F.split("text", " "), lambda t: t == ""),
+                "empty_token",
+            ),
+            F.when(F.col("_dup"), "duplicate_turn"),
+            F.when(F.col("_gap"), "non_dense_turn_idx"),
+        )
+    )
+    return (
+        checked.withColumn("violations", viol)
+        .where(F.size("violations") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.explode("violations").alias("violation"),
+        )
+    )
+
+
+def quarantine(turns: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (clean, quarantined) by conversation: any violation
+    quarantines the whole conversation (a partially-broken conversation has
+    broken offsets everywhere downstream)."""
+    bad_convs = validation_report(turns).select("conv_id").distinct()
+    clean = turns.join(bad_convs, on="conv_id", how="left_anti")
+    quarantined = turns.join(bad_convs, on="conv_id", how="left_semi")
+    return clean, quarantined
