@@ -30,6 +30,11 @@ DOC_JSON_SCHEMA = T.StructType(
             T.ArrayType(T.ArrayType(T.ArrayType(T.StringType()))),  # [s1,e1,s2,e2,label]
             True,
         ),
+        T.StructField(
+            "clusters",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.LongType()))),  # [[start,end],...]
+            True,
+        ),
         T.StructField("weight", T.DoubleType(), True),
     ]
 )
@@ -87,6 +92,61 @@ def write_jsonl_docs(turns: DataFrame, path: str, dataset: str = "transcripts") 
     """A2 — JSONL sink (one doc per line). Text-file write so golden files
     diff cleanly against reference-produced JSONL."""
     turns_to_doc_json(turns, dataset).coalesce(1).write.mode("overwrite").text(path)
+
+
+def _sentence_offsets(docs: DataFrame) -> DataFrame:
+    """(doc_key, sent_ix, sentence_start, n_tokens) via the B1 cumsum."""
+    from pyspark.sql import Window
+
+    sent = docs.select(
+        "doc_key", F.posexplode("sentences").alias("sent_ix", "tokens")
+    ).withColumn("n_tokens", F.size("tokens"))
+    w = Window.partitionBy("doc_key").orderBy("sent_ix").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return sent.withColumn(
+        "sentence_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select("doc_key", "sent_ix", "sentence_start", "n_tokens")
+
+
+def gold_relations_from_docs(docs: DataFrame) -> DataFrame:
+    """Reference-format gold relations ([s1,e1,s2,e2,label] with DOC-level
+    indices per sentence, doc/data.md:44-51) → turn-relative rows."""
+    offs = _sentence_offsets(docs)
+    rel = docs.select(
+        "doc_key", F.posexplode("relations").alias("sent_ix", "sent_rel")
+    ).select("doc_key", "sent_ix", F.explode("sent_rel").alias("r"))
+    return rel.join(offs, on=["doc_key", "sent_ix"]).select(
+        F.col("doc_key").alias("conv_id"),
+        F.col("sent_ix").cast("int").alias("turn_idx"),
+        (F.col("r")[0].cast("int") - F.col("sentence_start")).cast("int").alias("subj_start"),
+        (F.col("r")[1].cast("int") - F.col("sentence_start")).cast("int").alias("subj_end"),
+        (F.col("r")[2].cast("int") - F.col("sentence_start")).cast("int").alias("obj_start"),
+        (F.col("r")[3].cast("int") - F.col("sentence_start")).cast("int").alias("obj_end"),
+        F.col("r")[4].alias("label"),
+    )
+
+
+def gold_clusters_from_docs(docs: DataFrame) -> DataFrame:
+    """Reference-format coref clusters (doc-level spans, cross-sentence;
+    cluster id = list index, doc/data.md:52-62) → located turn-relative
+    member rows; members crossing a sentence boundary are dropped exactly
+    like the reference (document.py:685-689) via the B3 range join."""
+    offs = _sentence_offsets(docs)
+    members = docs.select(
+        "doc_key", F.posexplode("clusters").alias("cluster_id", "members")
+    ).select("doc_key", "cluster_id", F.explode("members").alias("m"))
+    located = members.join(offs, on="doc_key").where(
+        (F.col("m")[0] >= F.col("sentence_start"))
+        & (F.col("m")[1] <= F.col("sentence_start") + F.col("n_tokens") - 1)
+    )
+    return located.select(
+        F.col("doc_key").alias("conv_id"),
+        F.col("cluster_id").cast("bigint"),
+        F.col("sent_ix").cast("int").alias("turn_idx"),
+        (F.col("m")[0] - F.col("sentence_start")).cast("int").alias("start"),
+        (F.col("m")[1] - F.col("sentence_start")).cast("int").alias("end"),
+    )
 
 
 def predictions_to_doc_json(
