@@ -689,6 +689,14 @@ def coref_propagation(spark, sf_dir):
     return _longs(out.select("conv_id", "turn_idx", "start", "doc_pos", "raw_score"))
 
 
+def validation_report(spark, sf_dir):
+    """Input-contract validation (the reference's ingest checks: empty
+    tokens are a hard error, doc/data.md:29; document.py:160-173)."""
+    from dygiepp_spark.operators.validate import validation_report as vr
+
+    return _longs(vr(_turns(spark, sf_dir)))
+
+
 def mention_label_rollup(spark, sf_dir):
     """Classic-op coverage: ROLLUP aggregation over mention labels per
     dataset route (the reference has no grouping sets — SURVEY §2.H — the
@@ -984,6 +992,31 @@ FROM c"""
           JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
         )"""
         ),
+        "validation_report": q(
+            f"""WITH checked AS (
+          SELECT conv_id, turn_idx,
+                 COUNT(*) OVER (PARTITION BY conv_id, turn_idx) > 1 AS dup,
+                 lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+                 text
+          FROM turns
+        ), flagged AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN conv_id IS NULL OR conv_id = '' THEN 'null_conv_id' END AS v1,
+                 CASE WHEN text IS NULL OR text = '' THEN 'empty_text' END AS v2,
+                 CASE WHEN text IS NOT NULL AND list_contains(string_split(text, ' '), '')
+                      THEN 'empty_token' END AS v3,
+                 CASE WHEN dup THEN 'duplicate_turn' END AS v4,
+                 CASE WHEN (prev IS NULL AND turn_idx != 0)
+                        OR (prev IS NOT NULL AND turn_idx != prev + 1)
+                      THEN 'non_dense_turn_idx' END AS v5
+          FROM checked
+        )
+        SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               unnest([v for v in [v1, v2, v3, v4, v5] if v IS NOT NULL]) AS violation
+        FROM flagged
+        WHERE v1 IS NOT NULL OR v2 IS NOT NULL OR v3 IS NOT NULL
+           OR v4 IS NOT NULL OR v5 IS NOT NULL"""
+        ),
         "mention_label_rollup": q(
             f"""SELECT CASE WHEN CAST(conv_id AS {_B}) % 2 = 0 THEN 'even' ELSE 'odd' END AS route,
                label, COUNT(*) AS n_mentions
@@ -1086,6 +1119,7 @@ QUERIES: dict[str, QuerySpec] = {
     "collate_assignment": QuerySpec(collate_assignment, _SQL["collate_assignment"]),
     "coref_propagation": QuerySpec(coref_propagation, _SQL["coref_propagation"]),
     "mention_label_rollup": QuerySpec(mention_label_rollup, _SQL["mention_label_rollup"]),
+    "validation_report": QuerySpec(validation_report, _SQL["validation_report"]),
     "corpus_stats": QuerySpec(corpus_stats, _SQL["corpus_stats"]),
     "coref_pair_metrics": QuerySpec(coref_pair_metrics, _SQL["coref_pair_metrics"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
