@@ -31,7 +31,6 @@ from dygiepp_spark.functions.hashing import (
     MINHASH_PERMS,
     PERM_MOD,
     MOD,
-    N_BANDS,
     ROWS_PER_BAND,
     SIMHASH_BITS,
     char_hash_sql,

@@ -15,7 +15,7 @@ whole-conversation clusters exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from dygiepp_spark.config import PipelineConfig
 

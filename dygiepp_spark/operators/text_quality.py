@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dygiepp_spark.functions.hashing import char_hash_sql
-from dygiepp_spark.functions.lexicons import STOPWORDS, sql_in
+from dygiepp_spark.functions.lexicons import STOPWORDS
 
 PROFILE_SIZE = 20  # top char-bigrams per language profile
 WINNOW_WINDOW = 16  # chars per rolling fingerprint window

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dygiepp_spark.config import PipelineConfig
 from dygiepp_spark.functions import scoring
-from dygiepp_spark.functions.lexicons import ENTITY_TYPES, PREDICATES
 from dygiepp_spark.operators import assembly, canonicalize, coref, extract, metrics, pruning, spans
 from dygiepp_spark.oracle_sql import q, raw_score
 from dygiepp_spark.tables import read_turns

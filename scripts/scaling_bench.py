@@ -14,6 +14,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
@@ -40,8 +41,13 @@ def run_at(cpus: int, n_convs: int) -> dict:
 
 def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "150000"))
+    os.environ.setdefault("SPARK_GRAFT_SCALING_REPS", "2")
     levels = [4, 8, 16, 32]
-    runs = {c: run_at(c, n_convs) for c in levels}
+    runs = {}
+    for c in levels:
+        runs[c] = run_at(c, n_convs)
+        time.sleep(20)  # let the previous JVM's load drain — back-to-back
+        # runs measurably slow the next level's first iteration
 
     def eff(n: int, n4: int) -> float:
         return round(
