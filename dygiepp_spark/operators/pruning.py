@@ -62,16 +62,32 @@ def antecedent_pairs(pruned_spans: DataFrame, max_antecedents: int = 100) -> Dat
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "start", "end")
     ranked = pruned_spans.withColumn("doc_rank", F.row_number().over(w))
+    # Linear formulation: each span EXPLODES its ≤max_antecedents candidate
+    # ranks, then two equi-joins on (conv_id, rank) resolve the endpoints.
+    # A join-then-range-filter would be a per-conversation cross join —
+    # O(k²) per conv, a straggler bomb on mega-conversations; this is
+    # O(k·max_antecedents) with plain hash joins.
+    cand = ranked.where(F.col("doc_rank") > 1).select(
+        F.col("conv_id").alias("c_conv"),
+        F.col("doc_rank").alias("a_rank"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("doc_rank") - max_antecedents, F.lit(1)),
+                F.col("doc_rank") - 1,
+            )
+        ).alias("b_rank"),
+    )
     a = ranked.alias("a")
     b = ranked.alias("b")
     return (
-        a.join(b, on="conv_id")
-        .where(
-            (F.col("a.doc_rank") - F.col("b.doc_rank") >= 1)
-            & (F.col("a.doc_rank") - F.col("b.doc_rank") <= max_antecedents)
+        cand.join(
+            a, (F.col("c_conv") == F.col("a.conv_id")) & (F.col("a_rank") == F.col("a.doc_rank"))
+        )
+        .join(
+            b, (F.col("c_conv") == F.col("b.conv_id")) & (F.col("b_rank") == F.col("b.doc_rank"))
         )
         .select(
-            F.col("conv_id"),
+            F.col("c_conv").alias("conv_id"),
             F.col("a.turn_idx").alias("turn_idx"),
             F.col("a.start").alias("start"),
             F.col("a.end").alias("end"),
