@@ -117,6 +117,108 @@ def ann_topk_bucketed(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_lists: int = 16,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic k-means over quantized vectors.
+
+    Seeds = the n_lists lowest vec_ids; each Lloyd iteration assigns every
+    vector to its max-dot centroid (broadcast join — centroids are tiny)
+    and recomputes centroids as floor(mean) (integer, so the whole
+    structure is bitwise deterministic). Returns (assignments(vec_id,
+    list_id), centroids(list_id, cv)).
+
+    Scale: one broadcast join + one groupBy per iteration over the corpus;
+    the inverted lists are then hash-partitioned by list_id, which is the
+    IVF search property — queries touch nprobe lists, not the corpus.
+    """
+    q = quantize(emb, "embedding").select(
+        F.col(id_col).cast("bigint").alias("vec_id"), "q"
+    )
+    centroids = (
+        q.orderBy("vec_id").limit(n_lists)
+        .select(F.col("vec_id").alias("list_id"), F.col("q").alias("cv"))
+    )
+    assign = None
+    for _ in range(max(lloyd_iterations, 1)):
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "q", "list_id", _dot(F.col("q"), F.col("cv")).alias("cdot")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("list_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "q", "list_id")
+        )
+        # integer centroid update: floor of per-dimension mean
+        centroids = (
+            assign.select(
+                "list_id", F.posexplode("q").alias("d", "val")
+            )
+            .groupBy("list_id", "d")
+            .agg(F.floor(F.avg("val")).cast("bigint").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+        )
+    return assign.select("vec_id", "list_id"), centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 32,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe best lists per query, exact integer dot
+    within the probed lists only. The candidate join is an equi-join on
+    list_id — per-query work scales with nprobe/n_lists of the corpus."""
+    assign, centroids = ivf_assignments(emb, n_lists, id_col=id_col)
+    q = quantize(emb, "embedding").select(
+        F.col(id_col).cast("bigint").alias("vec_id"), "q"
+    )
+    queries = q.where(F.col("vec_id") < n_queries)
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "q", "list_id", _dot(F.col("q"), F.col("cv")).alias("cdot"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("list_id"))
+            ),
+        )
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"), "list_id")
+    )
+    corpus = q.join(assign, on="vec_id").select(
+        F.col("vec_id").alias("nid"), F.col("q").alias("nv"), "list_id"
+    )
+    scored = (
+        probes.join(corpus, on="list_id")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("dot"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"), F.col("rank").cast("bigint"),
+            F.col("nid").alias("neighbor_id"), "dot",
+        )
+    )
+
+
 def cosine_topk_pandas(
     emb: DataFrame, k: int = 3, n_queries: int = 32, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -856,6 +856,15 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
+def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN (integer k-means coarse quantizer, nprobe list search);
+    rows-only check — the iterative Lloyd assignment isn't one SQL query.
+    Recall vs brute force pinned by pytest."""
+    from dygiepp_spark.operators import similarity
+
+    return similarity.ivf_topk(_emb(spark, sf_dir), k=3, n_lists=16, nprobe=4, n_queries=32)
+
+
 def embedding_cosine_topk(spark, sf_dir):
     """Float cosine top-k via numpy-batched pandas UDF; rows-only check
     (float sums aren't cross-engine exact)."""
@@ -1135,6 +1144,7 @@ QUERIES: dict[str, QuerySpec] = {
     "binary_metadata": QuerySpec(binary_metadata, _c.BINARY_METADATA_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
     "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, None),
+    "embedding_ivf_topk": QuerySpec(embedding_ivf_topk, None),
     "doc_assembly_offsets": QuerySpec(doc_assembly_offsets, _SQL["doc_assembly_offsets"]),
     "turns_roundtrip": QuerySpec(turns_roundtrip, _SQL["turns_roundtrip"]),
     "span_enum": QuerySpec(span_enum, _SQL["span_enum"]),

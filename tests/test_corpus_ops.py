@@ -89,6 +89,29 @@ def test_ann_bucketed_consistency(spark, emb):
         assert bf_dots[(r["vec_id"], r["neighbor_id"])] == r["dot"]
 
 
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """IVF with nprobe=4/16 lists must recover most true top-3 neighbors
+    (recall target is structural, not exact — that's the ANN trade)."""
+    from pyspark.sql import functions as F
+
+    bf = similarity.dot_topk(emb, k=3, n_queries=16)
+    ivf = similarity.ivf_topk(emb, k=3, n_lists=16, nprobe=4, n_queries=16)
+    truth = {(r["vec_id"], r["neighbor_id"]) for r in bf.collect()}
+    got = {(r["vec_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall
+    # determinism: identical output across runs
+    again = {(r["vec_id"], r["neighbor_id"]) for r in
+             similarity.ivf_topk(emb, k=3, n_lists=16, nprobe=4, n_queries=16).collect()}
+    assert got == again
+    # probed-list scores are exact (shared integer dot)
+    bf_dots = {(r["vec_id"], r["neighbor_id"]): r["dot"] for r in bf.collect()}
+    for r in ivf.collect():
+        key = (r["vec_id"], r["neighbor_id"])
+        if key in bf_dots:
+            assert bf_dots[key] == r["dot"]
+
+
 def test_cosine_pandas_topk(spark, emb):
     out = similarity.cosine_topk_pandas(emb, k=3, n_queries=4)
     rows = out.collect()
