@@ -121,12 +121,20 @@ def run_with_checkpoint(
     )
 
     # lineage append AFTER the data commit (metrics per partition)
-    row_counts = (
-        spark.read.parquet(data_path)
-        .where(F.col(PART_COL).isin(todo))
-        .groupBy(PART_COL)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_out"))
-    )
+    try:
+        row_counts = (
+            spark.read.parquet(data_path)
+            .where(F.col(PART_COL).isin(todo))
+            .groupBy(PART_COL)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_out"))
+        )
+        row_counts.head(1)
+    except Exception:  # noqa: BLE001 — zero output rows: dir has no
+        # partition files to infer a schema from; lineage still commits
+        # (n_rows_out = 0) so the empty partitions skip on resume
+        row_counts = spark.createDataFrame(
+            [], f"{PART_COL} bigint, n_rows_out bigint"
+        )
     new_lineage = (
         fps.where(F.col(PART_COL).isin(todo))
         .join(row_counts, on=PART_COL, how="left")
