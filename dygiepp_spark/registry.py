@@ -311,7 +311,7 @@ _SQL: dict[str, str] = {
     "ner_align_counts": q(
         f"""SELECT s.conv_id, CAST(s.turn_idx AS {_B}) AS turn_idx,
                COUNT(*) AS n_spans,
-               SUM(CASE WHEN g.label IS NOT NULL THEN 1 ELSE 0 END) AS n_labeled
+               CAST(SUM(CASE WHEN g.label IS NOT NULL THEN 1 ELSE 0 END) AS {_B}) AS n_labeled
         FROM span_surf s
         LEFT JOIN singles g
           ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
@@ -905,7 +905,7 @@ _SQL.update(
         "gold_align_coref": q(
             f"""SELECT s.conv_id, CAST(s.turn_idx AS {_B}) AS turn_idx,
                COUNT(*) AS n_spans,
-               SUM(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clustered
+               CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS {_B}) AS n_clustered
         FROM span_surf s
         LEFT JOIN clusters c
           ON s.conv_id = c.conv_id AND s.turn_idx = c.turn_idx
@@ -980,7 +980,7 @@ FROM c"""
           FROM ({_args_sql(_CFGD)}) GROUP BY 1, 2, 3, 4
         )
         SELECT COUNT(*) AS n_args,
-               SUM(CASE WHEN nt > 1 THEN 1 ELSE 0 END) AS n_multi,
+               CAST(SUM(CASE WHEN nt > 1 THEN 1 ELSE 0 END) AS {_B}) AS n_multi,
                round(AVG(CASE WHEN nt > 1 THEN 1.0 ELSE 0.0 END), 4) AS multi_frac
         FROM per_arg"""
         ),

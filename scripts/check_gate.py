@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     import duckdb
 
     from dygiepp_spark.registry import QUERIES
@@ -29,7 +30,14 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = n_rows_only = 0
+    # Types the driver's type-aware value hash treats as portable between
+    # Spark and DuckDB.  Anything else (HUGEINT from SUM(int), INT32, DECIMAL)
+    # hash-mismatches even when the values are equal — flag it locally.
+    portable = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
     for name in sorted(QUERIES):
+        if only and name not in only:
+            continue
         spec = QUERIES[name]
         t0 = time.perf_counter()
         try:
@@ -45,6 +53,11 @@ def main() -> int:
                 for r in df.collect()
             )
             rel = con.sql(spec.sql)
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types) if str(t) not in portable
+            ]
+            if bad_types:
+                print(f"TYPEWARN {name}: non-portable oracle types {bad_types}")
             idx = [rel.columns.index(c) for c in cols]
             b = sorted(
                 tuple("~" if row[i] is None else (f"{row[i]:.10g}" if isinstance(row[i], float) else str(row[i])) for i in idx)
