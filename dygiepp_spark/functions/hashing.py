@@ -54,7 +54,7 @@ def char_hash_sql(col: str, dialect: str) -> str:
 def minhash_perm_sql(hash_col: str, i: int) -> str:
     """i-th permuted hash of an already-hashed shingle (dialect-neutral)."""
     a, b = MINHASH_PERMS[i]
-    return f"(({a} * {hash_col} + {b}) % {MERSENNE})"
+    return f"(({a} * {hash_col} + {b}) % {PERM_MOD})"
 
 
 def band_hash_sql(minhash_cols: list[str]) -> str:

@@ -149,6 +149,30 @@ def lsh_candidate_pairs(shingles: DataFrame, max_bucket: int = 64) -> DataFrame:
     )
 
 
+def lsh_bucket_stats(shingles: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Observability twin of `lsh_candidate_pairs`: how much did the
+    cross-join-bomb guard drop?  One row: total buckets, buckets over the
+    cap, doc-band rows discarded by the cap, and the largest bucket seen.
+    A near-duplicate-heavy corpus silently loses recall when buckets
+    overflow — surface it instead of guessing."""
+    bands = lsh_band_signatures(shingles)
+    per_bucket = bands.groupBy("band_ix", "band_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_size")
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_buckets"),
+        F.sum(
+            F.when(F.col("bucket_size") > max_bucket, F.col("bucket_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dropped_rows"),
+        F.max("bucket_size").cast("bigint").alias("max_bucket_size"),
+    )
+
+
 def jaccard_counts(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard as integers: (doc_a, doc_b, n_inter, n_union)."""
     sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shash"))

@@ -202,11 +202,13 @@ def ivf_topk(
     corpus = q.join(assign, on="vec_id").select(
         F.col("vec_id").alias("nid"), F.col("q").alias("nv"), "list_id"
     )
+    # (qid, nid) pairs are already unique: each corpus vector is assigned to
+    # exactly one list (rn == 1 above), so a probe meets a neighbor at most
+    # once — no distinct needed (a distinct here is a full extra shuffle).
     scored = (
         probes.join(corpus, on="list_id")
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("dot"))
-        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
     return (
@@ -224,6 +226,11 @@ def cosine_topk_pandas(
 ) -> DataFrame:
     """Float cosine top-k via a numpy-batched pandas UDF (the real-use path:
     one matmul per Arrow batch against a broadcast query matrix)."""
+    if n_queries > 65536:
+        raise ValueError(
+            f"n_queries={n_queries}: the query matrix is collected to the driver "
+            "and broadcast; cap it (or tile the query set) before scaling up"
+        )
     rows = emb.where(F.col(id_col) < n_queries).select(id_col, "embedding").collect()
     qids = np.array([r[id_col] for r in rows])
     qm = np.array([r["embedding"] for r in rows], dtype=np.float64)

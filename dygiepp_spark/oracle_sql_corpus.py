@@ -220,6 +220,16 @@ MINHASH_SIG_SQL = f"WITH {SHINGLES_CTE.strip()}\nSELECT doc_id, perm_ix, minhash
 
 LSH_PAIRS_SQL = f"WITH {SHINGLES_CTE.strip()}\nSELECT doc_a, doc_b FROM cand"
 
+LSH_BUCKET_STATS_SQL = f"""WITH {SHINGLES_CTE.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN bucket_size > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       CAST(SUM(CASE WHEN bucket_size > 64 THEN bucket_size ELSE 0 END) AS BIGINT) AS n_dropped_rows,
+       CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
+FROM (
+  SELECT band_ix, band_hash, COUNT(*) AS bucket_size
+  FROM bands GROUP BY band_ix, band_hash
+)"""
+
 NEAR_DUP_SQL = (
     f"WITH {SHINGLES_CTE.strip()}\n"
     "SELECT doc_a, doc_b, n_inter, n_union FROM jacc WHERE n_inter * 4 >= n_union * 1"

@@ -23,6 +23,7 @@ One job writes all missing partitions (no per-partition driver loop — at
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -112,6 +113,15 @@ def run_with_checkpoint(
     )
 
     data_path = os.path.join(out_dir, "data", stage)
+    # Dynamic overwrite only replaces partitions PRESENT in the new output:
+    # a todo partition whose recompute yields zero rows would keep its stale
+    # files (and the lineage row below would record the stale count). Purge
+    # every todo partition explicitly before the write — an interrupted run
+    # just recomputes them (lineage commits last). Iceberg's
+    # overwritePartitions() does this with delete predicates; parquet-on-FS
+    # needs the explicit delete.
+    for k in todo:
+        shutil.rmtree(os.path.join(data_path, f"{PART_COL}={k}"), ignore_errors=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         out_keyed.repartition(PART_COL)

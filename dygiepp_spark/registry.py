@@ -796,6 +796,14 @@ def near_dup_pairs(spark, sf_dir):
     return dedup.near_dup_pairs(_docs(spark, sf_dir))
 
 
+def lsh_bucket_stats(spark, sf_dir):
+    """Observability for the LSH cross-join-bomb guard: how many buckets /
+    doc-band rows the max_bucket cap drops (silent-loss detector)."""
+    from dygiepp_spark.operators import dedup
+
+    return dedup.lsh_bucket_stats(dedup.shingle_hashes(_docs(spark, sf_dir)))
+
+
 def simhash_values(spark, sf_dir):
     from dygiepp_spark.operators import dedup
 
@@ -1134,6 +1142,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
     "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),
     "near_dup_pairs": QuerySpec(near_dup_pairs, _c.NEAR_DUP_SQL),
+    "lsh_bucket_stats": QuerySpec(lsh_bucket_stats, _c.LSH_BUCKET_STATS_SQL),
     "simhash_values": QuerySpec(simhash_values, _c.SIMHASH_SQL),
     "embedding_dot_topk": QuerySpec(embedding_dot_topk, _c.EMBED_TOPK_SQL),
     "embedding_lsh_buckets": QuerySpec(embedding_lsh_buckets, _c.EMBED_BUCKETS_SQL),

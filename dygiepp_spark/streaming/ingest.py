@@ -55,17 +55,27 @@ def start_streaming_triples(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Incremental triple extraction: per micro-batch, run the SAME batch
-    extraction operators and append. Checkpointing + exactly-once file sink
-    semantics come from Structured Streaming; triple-level dedup is a
-    downstream batch step (canonicalize), as global dedup in-stream would
-    need unbounded state."""
+    extraction operators and write idempotently. foreachBatch is at-least-once
+    (a batch retried after a failure re-runs `process`), so the write is a
+    dynamic partition overwrite keyed by batch_id: a retry REPLACES its own
+    partition instead of appending duplicates — effectively exactly-once at
+    the file sink. Triple-level dedup across batches is a downstream batch
+    step (canonicalize), as global dedup in-stream would need unbounded
+    state."""
     from dygiepp_spark.operators.extract import relation_triples
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = relation_triples(batch_df)
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     writer = (
         turns_stream.writeStream.foreachBatch(process)

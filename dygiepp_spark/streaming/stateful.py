@@ -35,6 +35,15 @@ def _edges_for_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
+    if state.hasTimedOut:
+        # idle-conversation expiry: drop state, emit nothing, do NOT re-arm
+        # the timeout — otherwise expired conversations re-update forever and
+        # state grows without bound on a continuous stream
+        state.remove()
+        yield pd.DataFrame(
+            {"conv_id": [], "doc_pos": [], "ant_doc_pos": [], "surface": []}
+        )
+        return
     if state.exists:
         last_pos_json, total_tokens = state.get
         last_pos: dict[str, int] = json.loads(last_pos_json)

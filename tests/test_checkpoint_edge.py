@@ -37,3 +37,40 @@ def test_zero_output_run_commits_lineage(spark):
         assert lin.agg(F.sum("n_rows_out")).head()[0] == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_recompute_to_zero_rows_purges_stale_partition(spark):
+    """A partition whose input changed and whose recompute yields ZERO rows
+    must not serve the previous run's files (dynamic overwrite only rewrites
+    partitions present in the new output — the purge handles the rest)."""
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=6, seed=22)
+
+        def real(df):
+            from dygiepp_spark.operators.extract import relation_triples
+
+            return relation_triples(df)
+
+        s1 = cp.run_with_checkpoint(spark, turns, d, "p1", n_partitions=4, transform=real)
+        assert s1["n_rows_out"] > 0
+        assert cp.read_stage(spark, d, "triples").count() == s1["n_rows_out"]
+
+        # change every partition's input fingerprint, recompute to zero rows
+        changed = turns.withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+
+        def empty(df):
+            return real(df).where(F.lit(False))
+
+        s2 = cp.run_with_checkpoint(spark, changed, d, "p2", n_partitions=4, transform=empty)
+        assert s2["n_todo"] > 0 and s2.get("n_rows_out", 0) == 0
+        # stale rows must be gone, and lineage must record 0 for the new run
+        try:
+            n_now = cp.read_stage(spark, d, "triples").count()
+        except Exception:  # noqa: BLE001 — all partitions purged, dir empty
+            n_now = 0
+        assert n_now == 0
+        lin = cp.read_lineage(spark, d)
+        assert lin.where("run_id = 'p2'").agg(F.sum("n_rows_out")).head()[0] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

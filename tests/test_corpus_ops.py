@@ -150,3 +150,31 @@ def test_frame_sample_fanout(spark, docs):
     nb = {r["doc_id"]: r["n_bytes"] for r in multimodal.binary_metadata(docs.limit(3)).collect()}
     for d, n in lens.items():
         assert n == (nb[d] + 49) // 50  # ceil(bytes / 50) frames
+
+
+def test_lsh_bucket_stats_accounts_for_cap(spark, docs):
+    """Stats row is consistent: dropped buckets are exactly the >cap ones,
+    and with the cap at max_bucket_size nothing drops."""
+    sh = dedup.shingle_hashes(docs)
+    row = dedup.lsh_bucket_stats(sh, max_bucket=64).head()
+    assert row["n_buckets"] > 0
+    assert 0 <= row["n_dropped_buckets"] <= row["n_buckets"]
+    # lowering the cap below max_bucket_size must drop at least one bucket
+    tight = dedup.lsh_bucket_stats(sh, max_bucket=row["max_bucket_size"] - 1).head()
+    assert tight["n_dropped_buckets"] >= 1
+    # raising it to the max drops nothing
+    loose = dedup.lsh_bucket_stats(sh, max_bucket=row["max_bucket_size"]).head()
+    assert loose["n_dropped_buckets"] == 0 and loose["n_dropped_rows"] == 0
+
+
+def test_minhash_perm_sql_matches_column_path(spark):
+    """The dialect-neutral permutation helper (functions.hashing) must agree
+    with the column-expression path used by dedup.minhash_signatures."""
+    from dygiepp_spark.functions.hashing import MINHASH_PERMS, PERM_MOD, minhash_perm_sql
+
+    df = spark.range(5).selectExpr("id * 12345 + 7 as h")
+    for i in (0, 3, 15):
+        got = [r[0] for r in df.selectExpr(minhash_perm_sql("h", i)).collect()]
+        a, b = MINHASH_PERMS[i]
+        want = [(a * (x * 12345 + 7) + b) % PERM_MOD for x in range(5)]
+        assert got == want
