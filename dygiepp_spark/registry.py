@@ -154,6 +154,27 @@ def event_arg_stats(spark, sf_dir):
     )
 
 
+def events_jsonl_roundtrip(spark, sf_dir):
+    """A2+E7 write side ↔ A1 read side: stand-in gold events → reference
+    JSONL event format (doc/data.md:64-78, DOC-level indices) → parsed back
+    to turn-relative rows. Any offset/nesting bug breaks the hash because
+    the oracle computes the rows directly from the turns table."""
+    from dygiepp_spark.sources import jsonl
+
+    turns = _turns(spark, sf_dir)
+    tr = extract.event_triggers(turns).select(
+        "conv_id", "turn_idx", "trigger_ix", "event_type"
+    )
+    ar = extract.event_arguments(turns, CFG).select(
+        "conv_id", "turn_idx", "trigger_ix", "event_type",
+        "arg_start", "arg_end", "role",
+    )
+    gold = tr.join(ar, on=["conv_id", "turn_idx", "trigger_ix", "event_type"], how="left")
+    jd = jsonl.annotations_to_doc_json(turns, events=gold)
+    docs = jd.select(F.from_json("json", jsonl.DOC_JSON_SCHEMA).alias("d")).select("d.*")
+    return _longs(jsonl.gold_events_from_docs(docs).drop("event_ix"))
+
+
 def overlap_merge(spark, sf_dir):
     """E9 — overlapping mentions merged to longest (spacy_interface.py:69-105)."""
     merged = extract.overlap_merge(extract.ner_mentions(_turns(spark, sf_dir)))
@@ -386,6 +407,17 @@ _SQL: dict[str, str] = {
         JOIN singles s ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
         WHERE abs(s.start - tr.pos) <= {CFG.max_arg_distance} AND s.start != tr.pos
         GROUP BY tr.conv_id, tr.turn_idx, tr.pos, tr.token"""
+    ),
+    "events_jsonl_roundtrip": q(
+        f"""SELECT tr.conv_id, CAST(tr.turn_idx AS {_B}) AS turn_idx,
+               CAST(tr.pos AS {_B}) AS trigger_ix, upper(tr.token) AS event_type,
+               CAST(s.start AS {_B}) AS arg_start, CAST(s."end" AS {_B}) AS arg_end,
+               CASE WHEN s.start IS NULL THEN NULL
+                    WHEN s.start < tr.pos THEN 'ARG_BEFORE' ELSE 'ARG_AFTER' END AS role
+        FROM preds tr
+        LEFT JOIN singles s
+          ON tr.conv_id = s.conv_id AND tr.turn_idx = s.turn_idx
+         AND abs(s.start - tr.pos) <= {CFG.max_arg_distance} AND s.start != tr.pos"""
     ),
     "overlap_merge": q(
         f"""WITH flagged AS (
@@ -1169,6 +1201,9 @@ QUERIES: dict[str, QuerySpec] = {
     "event_arguments": QuerySpec(event_arguments, _SQL["event_arguments"]),
     "event_arg_stats": QuerySpec(event_arg_stats, _SQL["event_arg_stats"]),
     "overlap_merge": QuerySpec(overlap_merge, _SQL["overlap_merge"]),
+    "events_jsonl_roundtrip": QuerySpec(
+        events_jsonl_roundtrip, _SQL["events_jsonl_roundtrip"]
+    ),
     "ner_metrics": QuerySpec(ner_metrics, _SQL["ner_metrics"]),
     "relation_metrics": QuerySpec(relation_metrics, _SQL["relation_metrics"]),
     "antecedent_stats": QuerySpec(antecedent_stats, _SQL["antecedent_stats"]),

@@ -35,14 +35,77 @@ DOC_JSON_SCHEMA = T.StructType(
             T.ArrayType(T.ArrayType(T.ArrayType(T.LongType()))),  # [[start,end],...]
             True,
         ),
+        T.StructField(
+            # per sentence: list of events; event = [[trigger_tok, type],
+            # [arg_start, arg_end, role], ...] (doc/data.md:64-78; trigger
+            # is a single token). Mixed-arity inner lists → strings.
+            "events",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.ArrayType(T.StringType())))),
+            True,
+        ),
+        T.StructField(
+            # same shape as clusters, spans are trigger spans (doc/data.md:79-91)
+            "event_clusters",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.LongType()))),
+            True,
+        ),
         T.StructField("weight", T.DoubleType(), True),
     ]
 )
 
+# fields the reference whitelists (document.py:160-173); everything else
+# must be _-prefixed user metadata or the document is rejected
+KNOWN_DOC_FIELDS = frozenset(
+    {
+        "doc_key", "dataset", "sentences", "ner", "relations", "clusters",
+        "events", "event_clusters", "weight", "sentence_start",
+        "predicted_ner", "predicted_relations", "predicted_clusters",
+        "predicted_events",
+    }
+)
 
-def read_jsonl_docs(spark: SparkSession, path: str) -> DataFrame:
-    """A1 — one JSON doc per line → document rows."""
-    return spark.read.schema(DOC_JSON_SCHEMA).json(path)
+
+def read_jsonl_docs(spark: SparkSession, path: str, with_meta: bool = False) -> DataFrame:
+    """A1 — one JSON doc per line → document rows.
+
+    ``with_meta=True`` additionally carries user metadata: `_`-prefixed
+    fields pass through untouched (reference document.py:160-173) as a
+    ``_meta`` map column (field -> raw JSON snippet; values keep their
+    original types when re-emitted by predictions_to_doc_json), and
+    ``unknown_fields`` lists any non-whitelisted, non-underscore fields
+    (the reference raises on these; callers quarantine via
+    doc_field_report)."""
+    docs = spark.read.schema(DOC_JSON_SCHEMA).json(path)
+    if not with_meta:
+        return docs
+    # second pass over the raw lines: map<string,string> parsing captures
+    # every key with its raw JSON snippet as the value, types preserved
+    raw = spark.read.text(path).select(
+        F.from_json("value", "map<string,string>").alias("_m")
+    )
+    known = F.array(*[F.lit(k) for k in sorted(KNOWN_DOC_FIELDS)])
+    extras = raw.select(
+        # map<string,string> parsing unquotes string values and keeps the
+        # raw JSON snippet for nested ones — doc_key joins, _meta round-trips
+        F.col("_m")["doc_key"].alias("doc_key"),
+        # map of _-field -> raw JSON snippet (nested values) / unquoted
+        # string (string values); _splice_meta_json re-emits them typed
+        F.map_filter(F.col("_m"), lambda k, v: k.startswith("_")).alias("_meta"),
+        F.filter(
+            F.map_keys("_m"),
+            lambda k: ~F.array_contains(known, k) & ~k.startswith("_"),
+        ).alias("unknown_fields"),
+    )
+    return docs.join(extras, on="doc_key", how="left")
+
+
+def doc_field_report(docs_with_meta: DataFrame) -> DataFrame:
+    """One row per (doc_key, unknown field) — the reference's whitelist
+    rejection (document.py:160-173) as a quarantine report instead of a
+    hard raise (never silently process garbage, FIXTURES.md §1)."""
+    return docs_with_meta.select(
+        "doc_key", F.explode("unknown_fields").alias("unknown_field")
+    )
 
 
 def docs_to_turns(docs: DataFrame) -> DataFrame:
@@ -94,6 +157,198 @@ def write_jsonl_docs(turns: DataFrame, path: str, dataset: str = "transcripts") 
     turns_to_doc_json(turns, dataset).coalesce(1).write.mode("overwrite").text(path)
 
 
+def annotations_to_doc_json(
+    turns: DataFrame,
+    ner: DataFrame | None = None,
+    relations: DataFrame | None = None,
+    events: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+    dataset: str = "transcripts",
+) -> DataFrame:
+    """Gold-annotation JSONL sink in the reference's input format
+    (doc/data.md:17-91): per-sentence ``ner`` [start, end, "label"],
+    ``relations`` [s1, e1, s2, e2, "label"], ``events``
+    [[trigger_tok, "TYPE"], [a_start, a_end, "role"], ...] — all DOC-level
+    indices — plus doc-level ``clusters`` [[ [s, e], ... ], ...].
+
+    Inputs are the engine's turn-relative row shapes (gold_*_from_docs
+    outputs / stand-in extraction): this is the exact inverse of the
+    gold_*_from_docs parsers, so write→read round-trips (pinned by the
+    events_jsonl_roundtrip gated query). Mixed-type entries are assembled
+    as JSON text, all JVM-side."""
+    from dygiepp_spark.operators.assembly import with_sentence_starts
+
+    base = with_sentence_starts(turns).select(
+        "conv_id", "turn_idx", "text", "sentence_start"
+    )
+    offs = base.select("conv_id", "turn_idx", "sentence_start")
+    df = base
+    parts: list[tuple[str, str]] = []
+
+    if ner is not None:
+        m = ner.join(offs, on=["conv_id", "turn_idx"])
+        ds = F.col("start") + F.col("sentence_start")
+        de = F.col("end") + F.col("sentence_start")
+        ent = m.select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                ds.cast("int").alias("k1"),
+                de.cast("int").alias("k2"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",", ds.cast("string"), de.cast("string"), _jq(F.col("label"))
+                    ),
+                    F.lit("]"),
+                ).alias("j"),
+            ).alias("s"),
+        )
+        df = df.join(_entry_list(ent, "gner"), on=["conv_id", "turn_idx"], how="left")
+        parts.append(("ner", "gner"))
+
+    if relations is not None:
+        r = relations.join(offs, on=["conv_id", "turn_idx"])
+        cols = [
+            (F.col(c) + F.col("sentence_start")).cast("int")
+            for c in ("subj_start", "subj_end", "obj_start", "obj_end")
+        ]
+        ent = r.select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                *[c.alias(f"k{i}") for i, c in enumerate(cols, 1)],
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",", *[c.cast("string") for c in cols], _jq(F.col("label"))
+                    ),
+                    F.lit("]"),
+                ).alias("j"),
+            ).alias("s"),
+        )
+        df = df.join(_entry_list(ent, "grel"), on=["conv_id", "turn_idx"], how="left")
+        parts.append(("relations", "grel"))
+
+    if events is not None:
+        # rows: (conv_id, turn_idx, trigger_ix, event_type,
+        #        arg_start, arg_end, role) — null args = trigger-only event
+        e = events.join(offs, on=["conv_id", "turn_idx"])
+        dt = F.col("trigger_ix") + F.col("sentence_start")
+        das = F.col("arg_start") + F.col("sentence_start")
+        dae = F.col("arg_end") + F.col("sentence_start")
+        arg_j = F.when(
+            F.col("arg_start").isNotNull(),
+            F.struct(
+                das.cast("int").alias("k1"),
+                dae.cast("int").alias("k2"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",", das.cast("string"), dae.cast("string"), _jq(F.col("role"))
+                    ),
+                    F.lit("]"),
+                ).alias("j"),
+            ),
+        )
+        per_trig = (
+            e.withColumn("_aj", arg_j)
+            .groupBy(
+                "conv_id", "turn_idx", F.col("trigger_ix"), dt.alias("_dt"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.array_compact(F.collect_list("_aj"))),
+                        lambda x: x["j"],
+                    ),
+                    ",",
+                ).alias("args_j")
+            )
+        )
+        ent = per_trig.select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                F.col("trigger_ix").cast("int").alias("k1"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",",
+                        F.concat(
+                            F.lit("["),
+                            F.col("_dt").cast("string"),
+                            F.lit(","),
+                            _jq(F.col("event_type")),
+                            F.lit("]"),
+                        ),
+                        F.when(F.col("args_j") != "", F.col("args_j")),
+                    ),
+                    F.lit("]"),
+                ).alias("j"),
+            ).alias("s"),
+        )
+        df = df.join(_entry_list(ent, "gev"), on=["conv_id", "turn_idx"], how="left")
+        parts.append(("events", "gev"))
+
+    packed = df.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "turn_idx",
+                    F.split("text", " ").alias("tokens"),
+                    *[F.coalesce(F.col(c), F.lit("[]")).alias(c) for _, c in parts],
+                )
+            )
+        ).alias("_t")
+    )
+    if clusters is not None:
+        # (conv_id, cluster_id, turn_idx, start, end) turn-relative →
+        # doc-level nested lists ordered by cluster_id then span
+        cl = clusters.join(offs, on=["conv_id", "turn_idx"]).select(
+            "conv_id",
+            "cluster_id",
+            F.struct(
+                (F.col("start") + F.col("sentence_start")).cast("long").alias("s"),
+                (F.col("end") + F.col("sentence_start")).cast("long").alias("e"),
+            ).alias("m"),
+        )
+        nested = (
+            cl.groupBy("conv_id", "cluster_id")
+            .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+            .groupBy("conv_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("cluster_id"), F.col("ms")))
+                    ),
+                    lambda x: F.transform(x["ms"], lambda m: F.array(m["s"], m["e"])),
+                ).alias("gclusters")
+            )
+        )
+        packed = packed.join(nested, on="conv_id", how="left")
+
+    head_fields = [
+        F.col("conv_id").alias("doc_key"),
+        F.lit(dataset).alias("dataset"),
+        F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
+    ]
+    if clusters is not None:
+        head_fields.append(
+            F.coalesce(F.col("gclusters"), F.array().cast("array<array<array<long>>>"))
+            .alias("clusters")
+        )
+    head = F.to_json(F.struct(*head_fields))
+    pieces = [F.substring(head, 1, F.length(head) - F.lit(1))]
+    for field, col in parts:
+        pieces.append(F.lit(f',"{field}":['))
+        pieces.append(F.array_join(F.expr(f"transform(_t, x -> x.{col})"), ","))
+        pieces.append(F.lit("]"))
+    pieces.append(F.lit("}"))
+    return packed.select(F.concat(*pieces).alias("json"), F.col("conv_id"))
+
+
 def _sentence_offsets(docs: DataFrame) -> DataFrame:
     """(doc_key, sent_ix, sentence_start, n_tokens) via the B1 cumsum."""
     from pyspark.sql import Window
@@ -127,14 +382,13 @@ def gold_relations_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def gold_clusters_from_docs(docs: DataFrame) -> DataFrame:
-    """Reference-format coref clusters (doc-level spans, cross-sentence;
-    cluster id = list index, doc/data.md:52-62) → located turn-relative
-    member rows; members crossing a sentence boundary are dropped exactly
-    like the reference (document.py:685-689) via the B3 range join."""
+def _located_cluster_members(docs: DataFrame, field: str) -> DataFrame:
+    """Doc-level cluster member spans → turn-relative rows; members crossing
+    a sentence boundary are dropped exactly like the reference
+    (document.py:685-689) via the B3 range join."""
     offs = _sentence_offsets(docs)
     members = docs.select(
-        "doc_key", F.posexplode("clusters").alias("cluster_id", "members")
+        "doc_key", F.posexplode(field).alias("cluster_id", "members")
     ).select("doc_key", "cluster_id", F.explode("members").alias("m"))
     located = members.join(offs, on="doc_key").where(
         (F.col("m")[0] >= F.col("sentence_start"))
@@ -149,68 +403,266 @@ def gold_clusters_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def gold_clusters_from_docs(docs: DataFrame) -> DataFrame:
+    """Reference-format coref clusters (doc-level spans, cross-sentence;
+    cluster id = list index, doc/data.md:52-62) → located turn-relative
+    member rows."""
+    return _located_cluster_members(docs, "clusters")
+
+
+def gold_event_clusters_from_docs(docs: DataFrame) -> DataFrame:
+    """Event coreference clusters — same shape as `clusters` but spans are
+    trigger spans (doc/data.md:79-91; document.py event_clusters path)."""
+    return _located_cluster_members(docs, "event_clusters")
+
+
+def gold_events_from_docs(docs: DataFrame) -> DataFrame:
+    """Reference-format gold events → flattened turn-relative rows.
+
+    Input shape per sentence (doc/data.md:64-78): list of events, each
+    ``[[trigger_tok, event_type], [arg_start, arg_end, role], ...]`` with
+    DOC-level token indices (triggers single-token in ACE). Output: one row
+    per (event, argument) plus one row with null arg columns for
+    argument-less events, so trigger-only events survive the flatten —
+    (conv_id, turn_idx, event_ix, trigger_ix, event_type,
+    arg_start, arg_end, role), all indices turn-relative."""
+    offs = _sentence_offsets(docs)
+    evs = docs.select(
+        "doc_key", F.posexplode("events").alias("sent_ix", "sent_events")
+    ).select(
+        "doc_key", "sent_ix", F.posexplode("sent_events").alias("event_ix", "ev")
+    )
+    flat = evs.select(
+        "doc_key",
+        "sent_ix",
+        "event_ix",
+        F.col("ev")[0][0].cast("int").alias("trigger_doc_ix"),
+        F.col("ev")[0][1].alias("event_type"),
+        # arguments: elements 1..n; explode_outer keeps no-arg events
+        F.explode_outer(F.slice("ev", 2, F.greatest(F.size("ev") - 1, F.lit(0)))).alias("a"),
+    )
+    return flat.join(offs, on=["doc_key", "sent_ix"]).select(
+        F.col("doc_key").alias("conv_id"),
+        F.col("sent_ix").cast("int").alias("turn_idx"),
+        F.col("event_ix").cast("int"),
+        (F.col("trigger_doc_ix") - F.col("sentence_start")).cast("int").alias("trigger_ix"),
+        "event_type",
+        (F.col("a")[0].cast("int") - F.col("sentence_start")).cast("int").alias("arg_start"),
+        (F.col("a")[1].cast("int") - F.col("sentence_start")).cast("int").alias("arg_end"),
+        F.col("a")[2].alias("role"),
+    )
+
+
+def _jq(c):
+    """JSON-quote a string column (labels/metadata keys are alnum in
+    practice; escaping keeps arbitrary strings valid)."""
+    return F.concat(F.lit('"'), F.regexp_replace(c, r'(["\\])', r"\\$1"), F.lit('"'))
+
+
+def _score(c):
+    """Score as JSON number text, rounded to 4 decimals (document.py:10-11)."""
+    return F.round(c, 4).cast("string")
+
+
+def _entry_list(entries: DataFrame, name: str) -> DataFrame:
+    """(conv_id, turn_idx, s:struct<sort keys..., j:string>) rows →
+    (conv_id, turn_idx, <name>: '[e1,e2,...]') with entries sorted by the
+    struct's leading fields (numeric span order, not lexicographic)."""
+    return entries.groupBy("conv_id", "turn_idx").agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda x: x["j"]), ","
+            ),
+            F.lit("]"),
+        ).alias(name)
+    )
+
+
+def _splice_meta(meta_map):
+    """map<_field, raw JSON snippet> → ',"_k":v,...' with values re-emitted
+    typed: nested/number/bool/null snippets splice raw, plain strings are
+    re-quoted. (A user string that itself looks like a number round-trips
+    as a number — inherent to the snippet representation, documented.)"""
+    raw_like = r"^(\[|\{|-?[0-9]|true$|false$|null$)"
+    part = F.transform(
+        F.map_entries(meta_map),
+        lambda e: F.concat(
+            _jq(e["key"]),
+            F.lit(":"),
+            F.when(e["value"].rlike(raw_like), e["value"]).otherwise(_jq(e["value"])),
+        ),
+    )
+    return F.when(
+        meta_map.isNotNull() & (F.size(F.map_entries(meta_map)) > 0),
+        F.concat(F.lit(","), F.array_join(part, ",")),
+    ).otherwise(F.lit(""))
+
+
 def predictions_to_doc_json(
     turns: DataFrame,
     mentions: DataFrame | None = None,
     triples: DataFrame | None = None,
+    triggers: DataFrame | None = None,
+    arguments: DataFrame | None = None,
     dataset: str = "transcripts",
+    docs_meta: DataFrame | None = None,
 ) -> DataFrame:
     """E8 — merge predictions back onto per-document JSON in the reference's
-    prediction format: per-sentence ``predicted_ner`` = [start, end, label,
-    raw_score, softmax_score] with DOC-LEVEL offsets, ``predicted_relations``
-    = [s1, e1, s2, e2, label, raw, softmax]
-    (reference: dygie/models/dygie.py:289-334; format doc/data.md:108-116;
-    scores rounded to 4 decimals per document.py:10-11).
-    """
+    EXACT prediction format (doc/data.md:108-116; merge
+    dygie/models/dygie.py:289-334): DOC-level offsets, mixed-typed entries
+    in span order, scores rounded to 4 decimals (document.py:10-11):
+
+    - ``predicted_ner``:       [start, end, "label", logit, softmax]
+    - ``predicted_relations``: [s1, e1, s2, e2, "label", logit, softmax]
+    - ``predicted_events``:    [[trig_tok, "TYPE", logit, softmax],
+                                [a_start, a_end, "role", logit, softmax], ...]
+
+    ``triggers``/``arguments`` are the E5/E6 operator outputs; every trigger
+    emits an event even with zero arguments. ``docs_meta`` (doc_key, weight,
+    _meta) carries the reference's `_`-prefixed user metadata and per-doc
+    loss weight through untouched (document.py:155, 160-173).
+
+    Mixed-type JSON arrays can't be a single Spark array type, so entries
+    are assembled as JSON text — still all JVM-side column expressions."""
+    from dygiepp_spark.functions import scoring
     from dygiepp_spark.operators.assembly import with_sentence_starts
 
     base = with_sentence_starts(turns).select(
         "conv_id", "turn_idx", "text", "sentence_start"
     )
-
-    def _nest(pred: DataFrame, cols: list, name: str) -> DataFrame:
-        per_turn = pred.groupBy("conv_id", "turn_idx").agg(
-            F.sort_array(F.collect_list(F.array(*cols))).alias(name)
-        )
-        return per_turn
-
+    offs = base.select("conv_id", "turn_idx", "sentence_start")
     df = base
+    parts: list[str] = []  # (json field name, per-turn column) in emit order
+
     if mentions is not None:
-        m = mentions.join(
-            base.select("conv_id", "turn_idx", "sentence_start"),
-            on=["conv_id", "turn_idx"],
+        m = mentions.join(offs, on=["conv_id", "turn_idx"])
+        ds, de = F.col("start") + F.col("sentence_start"), F.col("end") + F.col(
+            "sentence_start"
         )
-        nested = _nest(
-            m,
-            [
-                (F.col("start") + F.col("sentence_start")).cast("string"),
-                (F.col("end") + F.col("sentence_start")).cast("string"),
-                F.col("label"),
-                F.round("raw_score", 4).cast("string"),
-                F.round("softmax_score", 4).cast("string"),
-            ],
-            "predicted_ner",
-        )
-        df = df.join(nested, on=["conv_id", "turn_idx"], how="left")
+        ent = m.select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                ds.cast("int").alias("k1"),
+                de.cast("int").alias("k2"),
+                F.concat_ws(
+                    ",",
+                    ds.cast("string"),
+                    de.cast("string"),
+                    _jq(F.col("label")),
+                    _score(F.col("raw_score")),
+                    _score(F.col("softmax_score")),
+                ).alias("j"),
+            ).alias("s"),
+        ).withColumn("s", F.struct("s.k1", "s.k2", F.concat(F.lit("["), F.col("s.j"), F.lit("]")).alias("j")))
+        df = df.join(_entry_list(ent, "pner"), on=["conv_id", "turn_idx"], how="left")
+        parts.append(("predicted_ner", "pner"))
+
     if triples is not None:
-        t = triples.join(
-            base.select("conv_id", "turn_idx", "sentence_start"),
-            on=["conv_id", "turn_idx"],
+        t = triples.join(offs, on=["conv_id", "turn_idx"])
+        s1 = F.col("subj_start") + F.col("sentence_start")
+        e1 = F.col("subj_end") + F.col("sentence_start")
+        s2 = F.col("obj_start") + F.col("sentence_start")
+        e2 = F.col("obj_end") + F.col("sentence_start")
+        ent = t.select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                s1.cast("int").alias("k1"),
+                e1.cast("int").alias("k2"),
+                s2.cast("int").alias("k3"),
+                e2.cast("int").alias("k4"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(
+                        ",",
+                        s1.cast("string"),
+                        e1.cast("string"),
+                        s2.cast("string"),
+                        e2.cast("string"),
+                        _jq(F.col("pred")),
+                        _score(F.col("raw_score")),
+                        _score(F.col("softmax_score")),
+                    ),
+                    F.lit("]"),
+                ).alias("j"),
+            ).alias("s"),
         )
-        nested = _nest(
-            t,
-            [
-                (F.col("subj_start") + F.col("sentence_start")).cast("string"),
-                (F.col("subj_end") + F.col("sentence_start")).cast("string"),
-                (F.col("obj_start") + F.col("sentence_start")).cast("string"),
-                (F.col("obj_end") + F.col("sentence_start")).cast("string"),
-                F.col("pred"),
-                F.round("raw_score", 4).cast("string"),
-                F.round("softmax_score", 4).cast("string"),
-            ],
-            "predicted_relations",
+        df = df.join(_entry_list(ent, "prel"), on=["conv_id", "turn_idx"], how="left")
+        parts.append(("predicted_relations", "prel"))
+
+    if triggers is not None:
+        trig = triggers.join(offs, on=["conv_id", "turn_idx"])
+        dt = F.col("trigger_ix") + F.col("sentence_start")
+        trig = trig.select(
+            "conv_id",
+            "turn_idx",
+            F.col("trigger_ix"),
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ",",
+                    dt.cast("string"),
+                    _jq(F.col("event_type")),
+                    _score(F.col("raw_score")),
+                    _score(F.col("softmax_score")),
+                ),
+                F.lit("]"),
+            ).alias("trig_j"),
         )
-        df = df.join(nested, on=["conv_id", "turn_idx"], how="left")
+        if arguments is not None:
+            a = arguments.join(offs, on=["conv_id", "turn_idx"])
+            das = F.col("arg_start") + F.col("sentence_start")
+            dae = F.col("arg_end") + F.col("sentence_start")
+            a = a.select(
+                "conv_id",
+                "turn_idx",
+                "trigger_ix",
+                F.struct(
+                    F.col("arg_start").cast("int").alias("k1"),
+                    F.col("arg_end").cast("int").alias("k2"),
+                    F.concat(
+                        F.lit("["),
+                        F.concat_ws(
+                            ",",
+                            das.cast("string"),
+                            dae.cast("string"),
+                            _jq(F.col("role")),
+                            _score(scoring.raw_score_col(F.col("arg_surface"), F.lit(1))),
+                            _score(
+                                scoring.softmax_score_col(F.col("arg_surface"), F.lit(1))
+                            ),
+                        ),
+                        F.lit("]"),
+                    ).alias("j"),
+                ).alias("s"),
+            )
+            args_per_trig = a.groupBy("conv_id", "turn_idx", "trigger_ix").agg(
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list("s")), lambda x: x["j"]),
+                    ",",
+                ).alias("args_j")
+            )
+            trig = trig.join(
+                args_per_trig, on=["conv_id", "turn_idx", "trigger_ix"], how="left"
+            )
+        else:
+            trig = trig.withColumn("args_j", F.lit(None).cast("string"))
+        ent = trig.select(
+            "conv_id",
+            "turn_idx",
+            F.struct(
+                F.col("trigger_ix").cast("int").alias("k1"),
+                F.concat(
+                    F.lit("["),
+                    F.concat_ws(",", F.col("trig_j"), F.col("args_j")),
+                    F.lit("]"),
+                ).alias("j"),
+            ).alias("s"),
+        )
+        df = df.join(_entry_list(ent, "pev"), on=["conv_id", "turn_idx"], how="left")
+        parts.append(("predicted_events", "pev"))
 
     packed = df.groupBy("conv_id").agg(
         F.sort_array(
@@ -218,24 +670,44 @@ def predictions_to_doc_json(
                 F.struct(
                     "turn_idx",
                     F.split("text", " ").alias("tokens"),
-                    F.coalesce("predicted_ner", F.array()).alias("pner"),
-                    F.coalesce("predicted_relations", F.array()).alias("prel"),
+                    *[F.coalesce(F.col(c), F.lit("[]")).alias(c) for _, c in parts],
                 )
             )
         ).alias("_t")
     )
-    return packed.select(
-        F.to_json(
-            F.struct(
-                F.col("conv_id").alias("doc_key"),
-                F.lit(dataset).alias("dataset"),
-                F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
-                F.expr("transform(_t, x -> x.pner)").alias("predicted_ner"),
-                F.expr("transform(_t, x -> x.prel)").alias("predicted_relations"),
-            )
-        ).alias("json"),
-        F.col("conv_id"),
+    if docs_meta is not None:
+        packed = packed.join(
+            docs_meta.select(
+                F.col("doc_key").alias("conv_id"),
+                *(["weight"] if "weight" in docs_meta.columns else []),
+                *(["_meta"] if "_meta" in docs_meta.columns else []),
+            ),
+            on="conv_id",
+            how="left",
+        )
+    head = F.to_json(
+        F.struct(
+            F.col("conv_id").alias("doc_key"),
+            F.lit(dataset).alias("dataset"),
+            F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
+        )
     )
+    pieces = [F.substring(head, 1, F.length(head) - F.lit(1))]
+    for field, col in parts:
+        pieces.append(F.lit(f',"{field}":['))
+        pieces.append(F.array_join(F.expr(f"transform(_t, x -> x.{col})"), ","))
+        pieces.append(F.lit("]"))
+    if docs_meta is not None and "weight" in docs_meta.columns:
+        pieces.append(
+            F.when(
+                F.col("weight").isNotNull(),
+                F.concat(F.lit(',"weight":'), F.col("weight").cast("string")),
+            ).otherwise(F.lit(""))
+        )
+    if docs_meta is not None and "_meta" in docs_meta.columns:
+        pieces.append(_splice_meta(F.col("_meta")))
+    pieces.append(F.lit("}"))
+    return packed.select(F.concat(*pieces).alias("json"), F.col("conv_id"))
 
 
 def gold_ner_from_docs(docs: DataFrame) -> DataFrame:

@@ -39,11 +39,48 @@ def test_prediction_merge_reference_format(tiny_turns, spark):
     assert [len(s) for s in a["sentences"]] == [7, 9, 2]
     # turn 1 starts at doc offset 7; mention "big table" (2,3) → (9,10)
     ner_t1 = a["predicted_ner"][1]
-    assert ["9", "10"] in [m[:2] for m in ner_t1]
+    assert [9, 10] in [m[:2] for m in ner_t1]
+    # entries are TYPED per the reference format: [int, int, str, float, float]
+    for sent in a["predicted_ner"]:
+        for m in sent:
+            assert isinstance(m[0], int) and isinstance(m[2], str)
+            assert isinstance(m[3], float) and isinstance(m[4], float)
+    # entries sort in numeric span order, not lexicographic
+    for sent in a["predicted_ner"]:
+        assert [m[:2] for m in sent] == sorted(m[:2] for m in sent)
     # relations on turn 0: customer(1) JOIN order(5) at doc level
     rel_t0 = a["predicted_relations"][0]
-    assert any(r[:5] == ["1", "1", "5", "5", "JOIN"] for r in rel_t0)
+    assert any(r[:5] == [1, 1, 5, 5, "JOIN"] for r in rel_t0)
     # turn with no predictions yields empty lists, not nulls
-    assert a["predicted_ner"][2] == [["16", "16", "ACTOR", "1.6875", "0.8438"]]
+    assert a["predicted_ner"][2] == [[16, 16, "ACTOR", 1.6875, 0.8438]]
     b = docs["B"]
     assert b["predicted_relations"] == [[], []]
+
+
+def test_prediction_merge_events_and_meta(tiny_turns, spark):
+    """predicted_events per doc/data.md:108-116 ([[trig, type, logit,
+    softmax], [as, ae, role, logit, softmax], ...]) plus weight and
+    _-prefixed metadata passthrough (document.py:155, 160-173)."""
+    triggers = extract.event_triggers(tiny_turns)
+    args = extract.event_arguments(tiny_turns)
+    meta = spark.createDataFrame(
+        [("A", 0.5, {"_idx": "[0,1]", "_note": "hi"})],
+        "doc_key string, weight double, _meta map<string,string>",
+    )
+    out = predictions_to_doc_json(
+        tiny_turns, triggers=triggers, arguments=args, docs_meta=meta
+    )
+    docs = {r["conv_id"]: json.loads(r["json"]) for r in out.collect()}
+    a = docs["A"]
+    assert a["weight"] == 0.5
+    assert a["_idx"] == [0, 1] and a["_note"] == "hi"  # typed re-emission
+    evs = [e for sent in a["predicted_events"] for e in sent]
+    assert evs, "tiny_turns has predicate tokens, events must decode"
+    for ev in evs:
+        trig = ev[0]
+        assert isinstance(trig[0], int) and isinstance(trig[1], str)
+        assert isinstance(trig[2], float) and isinstance(trig[3], float)
+        for arg in ev[1:]:
+            assert isinstance(arg[0], int) and isinstance(arg[2], str)
+    # docs without meta row: no weight/_ fields emitted
+    assert "weight" not in docs["B"] and "_idx" not in docs["B"]
