@@ -110,3 +110,224 @@ def multi_trigger_stats(arguments: DataFrame) -> DataFrame:
             "multi_frac"
         ),
     )
+
+
+# ------------------------------------------------------------- CoNLL coref
+
+B3_SCALE = 1_000_000  # fixed-point scale for B³ per-cluster terms
+
+
+def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """F6 — CoNLL coreference metrics as pure DataFrame aggregations:
+    MUC (link-based) and B³ (mention-based) precision/recall/F1 plus
+    mention-level P/R — the components the reference's scorer averages
+    (dygie/models/coref.py:15-16, 461-469; CoNLL average = mean of MUC, B³,
+    CEAFφ4 — CEAF needs optimal matching, see ceaf_phi4_metrics).
+
+    Inputs: (conv_id, cluster_id, doc_pos) mention rows for predicted and
+    gold clusterings (clusters have ≥2 members, reference convention).
+
+    Math, all integer until the final division:
+    - intersections I(p,g) = |P_p ∩ G_g| via one equi-join on the mention key;
+    - MUC recall = Σ_g (|g| - partitions(g)) / Σ_g (|g| - 1) where
+      partitions(g) = (#pred clusters touching g) + (unmatched mentions of g),
+      which reduces to (matched - Σ_g k_g) / (N_gold_m - N_gold_cl);
+    - B³ recall = Σ_{p,g} I²/|g| / N_gold_m (precision symmetric). Each
+      I²/|g| term is fixed-point-quantized to 1e-6 BEFORE summation so the
+      sum is an exact integer — float summation order (Spark partial aggs
+      vs DuckDB) can never change the result;
+    - mention P/R = matched / N_pred_m, matched / N_gold_m.
+
+    One shuffle for the join + tiny scalar aggregates; scale-safe at any
+    corpus size (no per-conversation state, no collect)."""
+    mkey = ["conv_id", "doc_pos"]
+    p = pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos")
+    g = gold.select("conv_id", F.col("cluster_id").alias("gc"), "doc_pos")
+    inter = (
+        p.join(g, on=mkey)
+        .groupBy("conv_id", "pc", "gc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    psz = p.groupBy("conv_id", "pc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size_p")
+    )
+    gsz = g.groupBy("conv_id", "gc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size_g")
+    )
+    iw = inter.join(psz, on=["conv_id", "pc"]).join(gsz, on=["conv_id", "gc"])
+    sc = float(B3_SCALE)
+    inter_agg = iw.agg(
+        F.sum("i").cast("bigint").alias("matched"),
+        F.sum(
+            F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_g")).cast("bigint")
+        ).alias("b3_rec_sc"),
+        F.sum(
+            F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_p")).cast("bigint")
+        ).alias("b3_prec_sc"),
+    )
+    k_g = (
+        inter.groupBy("conv_id", "gc")
+        .agg(F.countDistinct("pc").alias("k"))
+        .agg(F.sum("k").cast("bigint").alias("sum_kg"))
+    )
+    k_p = (
+        inter.groupBy("conv_id", "pc")
+        .agg(F.countDistinct("gc").alias("k"))
+        .agg(F.sum("k").cast("bigint").alias("sum_kp"))
+    )
+    ptot = psz.agg(
+        F.sum("size_p").cast("bigint").alias("n_pred_m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pred_cl"),
+    )
+    gtot = gsz.agg(
+        F.sum("size_g").cast("bigint").alias("n_gold_m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gold_cl"),
+    )
+    s = inter_agg.crossJoin(k_g).crossJoin(k_p).crossJoin(ptot).crossJoin(gtot)
+
+    def _f1(pc, rc):
+        return F.when(
+            pc.isNotNull() & rc.isNotNull() & ((pc + rc) > 0),
+            F.round(2 * pc * rc / (pc + rc), 4),
+        )
+
+    def _row(name, prec, rec):
+        prec, rec = F.round(prec, 4), F.round(rec, 4)
+        return s.select(
+            F.lit(name).alias("metric"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            _f1(prec, rec).alias("f1"),
+        )
+
+    def _div(num, den):
+        return F.when(den > 0, num / den)
+
+    muc = _row(
+        "muc",
+        _div(F.col("matched") - F.col("sum_kp"), F.col("n_pred_m") - F.col("n_pred_cl")),
+        _div(F.col("matched") - F.col("sum_kg"), F.col("n_gold_m") - F.col("n_gold_cl")),
+    )
+    b3 = _row(
+        "b3",
+        _div(F.col("b3_prec_sc"), F.lit(B3_SCALE) * F.col("n_pred_m")),
+        _div(F.col("b3_rec_sc"), F.lit(B3_SCALE) * F.col("n_gold_m")),
+    )
+    mention = _row(
+        "mention",
+        _div(F.col("matched"), F.col("n_pred_m")),
+        _div(F.col("matched"), F.col("n_gold_m")),
+    )
+    return muc.unionByName(b3).unionByName(mention)
+
+
+def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """F6 — CEAFφ4: optimal one-to-one cluster alignment maximizing
+    Σ φ4(P_i, G_j), φ4 = 2|P∩G| / (|P|+|G|); precision = Σφ4 / #pred
+    clusters, recall = Σφ4 / #gold clusters (Luo 2005; reference scorer
+    dygie/models/coref.py:461-469).
+
+    Optimal matching is per-conversation (the reference scores per document)
+    and the φ4 matrix is sparse — only intersecting cluster pairs score.
+    The assignment problem therefore decomposes over connected components of
+    the intersection graph, each solved exactly by bitmask DP inside one
+    applyInPandas group. Components are tiny by construction (a gold entity
+    fragments into a handful of predicted segments); a component wider than
+    MAX_COMPONENT raises rather than silently approximating."""
+    import pandas as pd
+
+    MAX_COMPONENT = 22
+
+    mkey = ["conv_id", "doc_pos"]
+    p = pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos")
+    g = gold.select("conv_id", F.col("cluster_id").alias("gc"), "doc_pos")
+    inter = (
+        p.join(g, on=mkey)
+        .groupBy("conv_id", "pc", "gc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    psz = p.groupBy("conv_id", "pc").agg(F.count(F.lit(1)).cast("bigint").alias("size_p"))
+    gsz = g.groupBy("conv_id", "gc").agg(F.count(F.lit(1)).cast("bigint").alias("size_g"))
+    iw = (
+        inter.join(psz, on=["conv_id", "pc"])
+        .join(gsz, on=["conv_id", "gc"])
+        .withColumn(
+            "phi4", 2.0 * F.col("i") / (F.col("size_p") + F.col("size_g"))
+        )
+    )
+
+    def best_matching(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        # build intersection-graph components over (pc, gc) edges
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        edges = list(zip(pdf["pc"], pdf["gc"], pdf["phi4"]))
+        for pc, gc, _ in edges:
+            union(("p", pc), ("g", gc))
+        comps: dict = {}
+        for pc, gc, phi in edges:
+            comps.setdefault(find(("p", pc)), []).append((pc, gc, phi))
+        total = 0.0
+        for comp_edges in comps.values():
+            gcs = sorted({gc for _, gc, _ in comp_edges})
+            pcs = sorted({pc for pc, _, _ in comp_edges})
+            if len(gcs) > MAX_COMPONENT and len(pcs) > MAX_COMPONENT:
+                raise ValueError(
+                    f"CEAF component too wide ({len(pcs)}x{len(gcs)}) in {conv}"
+                )
+            # DP over the smaller side as the bitmask
+            if len(gcs) <= len(pcs):
+                small, big, w = gcs, pcs, {(pc, gc): phi for pc, gc, phi in comp_edges}
+                weight = lambda b, s: w.get((b, s), 0.0)  # noqa: E731
+            else:
+                small, big, w = pcs, gcs, {(pc, gc): phi for pc, gc, phi in comp_edges}
+                weight = lambda b, s: w.get((s, b), 0.0)  # noqa: E731
+            sidx = {c: k for k, c in enumerate(small)}
+            full = 1 << len(small)
+            best = [0.0] * full
+            for b in big:
+                nxt = best[:]
+                for mask in range(full):
+                    base = best[mask]
+                    for s in small:
+                        bit = 1 << sidx[s]
+                        if mask & bit:
+                            continue
+                        v = base + weight(b, s)
+                        if v > nxt[mask | bit]:
+                            nxt[mask | bit] = v
+                    if base > nxt[mask]:
+                        nxt[mask] = base
+                best = nxt
+            total += max(best)
+        return pd.DataFrame({"conv_id": [conv], "sum_phi4": [total]})
+
+    per_conv = iw.groupBy("conv_id").applyInPandas(
+        best_matching, "conv_id string, sum_phi4 double"
+    )
+    tot = (
+        per_conv.agg(F.sum("sum_phi4").alias("sum_phi4"))
+        .crossJoin(psz.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred_cl")))
+        .crossJoin(gsz.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold_cl")))
+    )
+    prec = F.round(F.col("sum_phi4") / F.col("n_pred_cl"), 4)
+    rec = F.round(F.col("sum_phi4") / F.col("n_gold_cl"), 4)
+    return tot.select(
+        F.lit("ceaf_phi4").alias("metric"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4)).alias("f1"),
+    )

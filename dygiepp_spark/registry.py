@@ -789,6 +789,29 @@ def coref_pair_metrics(spark, sf_dir):
     return metrics.micro_prf(pred, gold, ["conv_id", "pa", "pb"], task="coref_pairs")
 
 
+def _pred_gold_clusters(spark, sf_dir):
+    t = _turns(spark, sf_dir)
+    pred = coref.clusters_via_components(t, max_gap=40)
+    gold = coref.clusters_via_components(t)
+    return pred, gold
+
+
+def coref_conll_metrics(spark, sf_dir):
+    """F6 — CoNLL coref metrics (MUC + B³ + mention P/R) as DataFrame
+    aggregations (reference scorer coref.py:15-16, 461-469): pred =
+    clustering with antecedent gap ≤ 40, gold = unrestricted clustering."""
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    return metrics.conll_coref_metrics(pred, gold)
+
+
+def coref_ceaf_metrics(spark, sf_dir):
+    """F6 — CEAFφ4 via per-conversation optimal cluster matching
+    (applyInPandas; rows-only — optimal assignment is not SQL-expressible).
+    Pinned against a brute-force permutation scorer in pytest."""
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    return metrics.ceaf_phi4_metrics(pred, gold)
+
+
 # ------------------------------------------------- corpus-level operators
 
 def _docs(spark, sf_dir):
@@ -1135,6 +1158,72 @@ FROM c"""
                      / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
         FROM c"""
         ),
+        "coref_conll_metrics": q(
+            """WITH seg AS (
+          SELECT conv_id, surface, doc_pos,
+                 SUM(CASE WHEN prev IS NULL OR doc_pos - prev > 40 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS segment
+          FROM (
+            SELECT conv_id, surface, doc_pos,
+                   lag(doc_pos) OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS prev
+            FROM cmentions
+          )
+        ),
+        pm AS (
+          SELECT conv_id, surface || '#' || CAST(segment AS VARCHAR) AS pc, doc_pos
+          FROM seg
+          QUALIFY COUNT(*) OVER (PARTITION BY conv_id, surface, segment) >= 2
+        ),
+        gm AS (
+          SELECT conv_id, surface AS gc, doc_pos FROM cmentions
+          QUALIFY COUNT(*) OVER (PARTITION BY conv_id, surface) >= 2
+        ),
+        i AS (
+          SELECT p.conv_id, p.pc, g.gc, COUNT(*) AS i
+          FROM pm p JOIN gm g ON p.conv_id = g.conv_id AND p.doc_pos = g.doc_pos
+          GROUP BY 1, 2, 3
+        ),
+        psz AS (SELECT conv_id, pc, COUNT(*) AS size_p FROM pm GROUP BY 1, 2),
+        gsz AS (SELECT conv_id, gc, COUNT(*) AS size_g FROM gm GROUP BY 1, 2),
+        iw AS (
+          SELECT i.*, psz.size_p, gsz.size_g
+          FROM i JOIN psz ON i.conv_id = psz.conv_id AND i.pc = psz.pc
+                 JOIN gsz ON i.conv_id = gsz.conv_id AND i.gc = gsz.gc
+        ),
+        s AS (
+          SELECT
+            (SELECT SUM(i) FROM iw) AS matched,
+            (SELECT SUM(CAST(round(1000000.0 * i * i / size_g) AS BIGINT)) FROM iw) AS b3_rec_sc,
+            (SELECT SUM(CAST(round(1000000.0 * i * i / size_p) AS BIGINT)) FROM iw) AS b3_prec_sc,
+            (SELECT SUM(k) FROM (SELECT conv_id, gc, COUNT(DISTINCT pc) AS k FROM i GROUP BY 1, 2)) AS sum_kg,
+            (SELECT SUM(k) FROM (SELECT conv_id, pc, COUNT(DISTINCT gc) AS k FROM i GROUP BY 1, 2)) AS sum_kp,
+            (SELECT SUM(size_p) FROM psz) AS n_pred_m,
+            (SELECT COUNT(*) FROM psz) AS n_pred_cl,
+            (SELECT SUM(size_g) FROM gsz) AS n_gold_m,
+            (SELECT COUNT(*) FROM gsz) AS n_gold_cl
+        ),
+        rows_ AS (
+          SELECT 'muc' AS metric,
+                 round((matched - sum_kp) / (n_pred_m - n_pred_cl), 4) AS precision,
+                 round((matched - sum_kg) / (n_gold_m - n_gold_cl), 4) AS recall
+          FROM s
+          UNION ALL
+          SELECT 'b3',
+                 round(b3_prec_sc / (1000000.0 * n_pred_m), 4),
+                 round(b3_rec_sc / (1000000.0 * n_gold_m), 4)
+          FROM s
+          UNION ALL
+          SELECT 'mention',
+                 round(matched / n_pred_m, 4),
+                 round(matched / n_gold_m, 4)
+          FROM s
+        )
+        SELECT metric, precision, recall,
+               CASE WHEN precision + recall > 0
+                    THEN round(2 * precision * recall / (precision + recall), 4)
+               END AS f1
+        FROM rows_"""
+        ),
         "pair_features": q(
             f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
                CAST(trigger_ix AS {_B}) AS trigger_ix,
@@ -1170,6 +1259,8 @@ QUERIES: dict[str, QuerySpec] = {
     "validation_report": QuerySpec(validation_report, _SQL["validation_report"]),
     "corpus_stats": QuerySpec(corpus_stats, _SQL["corpus_stats"]),
     "coref_pair_metrics": QuerySpec(coref_pair_metrics, _SQL["coref_pair_metrics"]),
+    "coref_conll_metrics": QuerySpec(coref_conll_metrics, _SQL["coref_conll_metrics"]),
+    "coref_ceaf_metrics": QuerySpec(coref_ceaf_metrics, None),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
     "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),

@@ -1,0 +1,144 @@
+"""CoNLL coreference metrics vs independent pure-python scorers
+(reference reports MUC/B³/CEAFφ4 average + mention recall,
+dygie/models/coref.py:15-16, 461-469). The pure-python twins below are
+written directly from the metric definitions (Vilain 1995 MUC; Bagga &
+Baldwin 1998 B³; Luo 2005 CEAFφ4) and brute-force the CEAF matching with
+permutations — no shared code with the Spark operators."""
+
+import itertools
+
+import pytest
+
+from dygiepp_spark.operators import coref, metrics
+from dygiepp_spark.synth import synth_turns
+
+
+# ---------------------------------------------------------- pure-python twins
+
+def _muc(pred, gold):
+    def score(sys, key):
+        num = den = 0
+        for k in key:
+            partitions = {frozenset(s) for s in sys if s & k}
+            covered = set().union(*[s & k for s in sys if s & k]) if partitions else set()
+            num += len(k) - (len(partitions) + len(k - covered))
+            den += len(k) - 1
+        return num, den
+
+    rn, rd = score(pred, gold)
+    pn, pd_ = score(gold, pred)
+    return pn / pd_, rn / rd
+
+
+def _b3(pred, gold):
+    def score(sys, key):
+        total = 0.0
+        n = 0
+        for k in key:
+            n += len(k)
+            for s in sys:
+                i = len(s & k)
+                total += i * i / len(k)
+        return total / n
+
+    return score(gold, pred), score(pred, gold)  # precision, recall
+
+
+def _phi4(a, b):
+    return 2 * len(a & b) / (len(a) + len(b))
+
+
+def _ceaf(pred, gold):
+    small, big = (pred, gold) if len(pred) <= len(gold) else (gold, pred)
+    best = 0.0
+    for perm in itertools.permutations(range(len(big)), len(small)):
+        best = max(best, sum(_phi4(small[i], big[j]) for i, j in enumerate(perm)))
+    return best / len(pred), best / len(gold)
+
+
+def _df(spark, clusterings):
+    """clusterings: {conv: [set(mentions), ...]} → (conv_id, cluster_id, doc_pos)."""
+    rows = [
+        (conv, ci, m)
+        for conv, cls in clusterings.items()
+        for ci, c in enumerate(cls)
+        for m in c
+    ]
+    return spark.createDataFrame(rows, "conv_id string, cluster_id long, doc_pos long")
+
+
+CASES = {
+    # classic MUC paper example: gold {1..5}, pred splits it
+    "paper": (
+        {"c": [{1, 2, 3}, {4, 5}]},
+        {"c": [{1, 2, 3, 4, 5}]},
+    ),
+    # exact match
+    "exact": (
+        {"c": [{1, 2}, {3, 4, 5}]},
+        {"c": [{1, 2}, {3, 4, 5}]},
+    ),
+    # disjoint mentions + multi-conversation
+    "multi": (
+        {"a": [{1, 2}, {3, 4}], "b": [{10, 11, 12}]},
+        {"a": [{1, 2, 3, 4}], "b": [{10, 11}, {12, 13}]},
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_conll_metrics_match_pure_python(spark, name):
+    pred_c, gold_c = CASES[name]
+    out = {
+        r["metric"]: (r["precision"], r["recall"])
+        for r in metrics.conll_coref_metrics(_df(spark, pred_c), _df(spark, gold_c)).collect()
+    }
+    pred_sets = [c for cls in pred_c.values() for c in cls]
+    gold_sets = [c for cls in gold_c.values() for c in cls]
+    # pure-python scores computed per conversation then micro-averaged via
+    # global sums — mentions are globally unique in the fixtures, so scoring
+    # the union of conversations at once is equivalent
+    mp, mr = _muc(pred_sets, gold_sets)
+    bp, br = _b3(pred_sets, gold_sets)
+    assert out["muc"] == (round(mp, 4), round(mr, 4))
+    assert out["b3"][0] == pytest.approx(round(bp, 4), abs=2e-4)
+    assert out["b3"][1] == pytest.approx(round(br, 4), abs=2e-4)
+
+    # CEAF must brute-force per conversation (matching can't cross convs)
+    tot = 0.0
+    for conv in pred_c:
+        p_, g_ = pred_c[conv], gold_c.get(conv, [])
+        small, big = (p_, g_) if len(p_) <= len(g_) else (g_, p_)
+        best = 0.0
+        for perm in itertools.permutations(range(len(big)), len(small)):
+            best = max(best, sum(_phi4(small[i], big[j]) for i, j in enumerate(perm)))
+        tot += best
+    want_p = round(tot / len(pred_sets), 4)
+    want_r = round(tot / len(gold_sets), 4)
+    row = metrics.ceaf_phi4_metrics(_df(spark, pred_c), _df(spark, gold_c)).head()
+    assert (row["precision"], row["recall"]) == (want_p, want_r)
+
+
+def test_conll_on_synthetic_corpus(spark):
+    """End-to-end over the real clustering operators: identical clusterings
+    score 1.0 everywhere; gap-limited pred scores strictly below on every
+    metric family that sees the segmentation."""
+    t = synth_turns(spark, n_convs=12, seed=9)
+    gold = coref.clusters_via_components(t)
+    same = {
+        r["metric"]: r for r in metrics.conll_coref_metrics(gold, gold).collect()
+    }
+    for m in ("muc", "b3", "mention"):
+        assert same[m]["precision"] == 1.0 and same[m]["recall"] == 1.0
+    ceaf_same = metrics.ceaf_phi4_metrics(gold, gold).head()
+    assert ceaf_same["precision"] == 1.0 and ceaf_same["recall"] == 1.0
+
+    pred = coref.clusters_via_components(t, max_gap=10)
+    segd = {
+        r["metric"]: r for r in metrics.conll_coref_metrics(pred, gold).collect()
+    }
+    # segmentation can only hurt recall-side link/cluster agreement
+    assert segd["muc"]["recall"] < 1.0
+    assert segd["b3"]["recall"] < 1.0
+    ceaf_seg = metrics.ceaf_phi4_metrics(pred, gold).head()
+    assert ceaf_seg["recall"] < 1.0
