@@ -72,6 +72,52 @@ def dot_topk(
     )
 
 
+def cosine_topk_quantized(
+    emb: DataFrame, k: int = 3, n_queries: int = 32, id_col: str = "vec_id"
+) -> DataFrame:
+    """Cosine top-k with cross-engine-exact ordering (the oracle-gated twin
+    of cosine_topk_pandas): dots and squared norms are exact int64 over the
+    quantized vectors; the cosine sort key dot/sqrt(nq²·nn²) is one IEEE
+    multiply + sqrt + divide on identical inputs, so Spark and DuckDB
+    compute bit-identical keys and therefore identical ranks (ties broken
+    by neighbor id). Output is all-integer: (vec_id, rank, neighbor_id,
+    dot, norm2) — hash-exact in the gate."""
+    base = quantize(emb, "embedding").select(F.col(id_col).alias("id"), "q")
+    base = base.withColumn("n2", _dot(F.col("q"), F.col("q")))
+    qs = base.where(F.col("id") < n_queries).select(
+        F.col("id").alias("qid"), F.col("q").alias("qv"), F.col("n2").alias("qn2")
+    )
+    cs = base.select(
+        F.col("id").alias("nid"), F.col("q").alias("nv"), F.col("n2").alias("nn2")
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(cs, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "nn2",
+            _dot(F.col("qv"), F.col("nv")).alias("dot"),
+            (
+                F.col("qn2").cast("double") * F.col("nn2").cast("double")
+            ).alias("_n2prod"),
+        )
+        .withColumn("_key", F.col("dot") / F.sqrt(F.col("_n2prod")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("_key").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("bigint").alias("vec_id"),
+            F.col("rank").cast("bigint"),
+            F.col("nid").cast("bigint").alias("neighbor_id"),
+            F.col("dot").cast("bigint"),
+            F.col("nn2").cast("bigint").alias("neighbor_norm2"),
+        )
+    )
+
+
 def hyperplane(j: int, dim: int):
     """Deterministic integer hyperplane j (values in [-3, 3])."""
     return [((j * 131 + d * 31) % 7) - 3 for d in range(dim)]

@@ -128,6 +128,26 @@ FROM (
 )
 WHERE rn <= 3"""
 
+EMBED_COSINE_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv,
+         CAST(list_dot_product({_QUANT}, {_QUANT}) AS BIGINT) AS n2
+  FROM embeddings
+)
+SELECT qid AS vec_id, CAST(rn AS BIGINT) AS rank, nid AS neighbor_id, dot,
+       nn2 AS neighbor_norm2
+FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, b.n2 AS nn2,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) DESC,
+                    b.vec_id) AS rn
+  FROM q a JOIN q b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 32
+)
+WHERE rn <= 3"""
+
 EMBED_BUCKETS_SQL = f"""WITH q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
 )

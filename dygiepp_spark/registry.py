@@ -929,8 +929,17 @@ def embedding_ivf_topk(spark, sf_dir):
 
 
 def embedding_cosine_topk(spark, sf_dir):
-    """Float cosine top-k via numpy-batched pandas UDF; rows-only check
-    (float sums aren't cross-engine exact)."""
+    """Cosine top-k, oracle-gated: quantized integer dots/norms, IEEE-exact
+    cosine sort key identical in both engines — all-integer output."""
+    from dygiepp_spark.operators import similarity
+
+    return similarity.cosine_topk_quantized(_emb(spark, sf_dir), k=3, n_queries=32)
+
+
+def embedding_cosine_float(spark, sf_dir):
+    """Float cosine top-k via numpy-batched pandas UDF (the real-use path;
+    rows-only — float matmul isn't cross-engine exact). Rank agreement with
+    the quantized gated path is pinned in pytest."""
     from dygiepp_spark.operators import similarity
 
     return similarity.cosine_topk_pandas(_emb(spark, sf_dir), k=3, n_queries=16)
@@ -1275,7 +1284,8 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": QuerySpec(doc_fingerprints, _c.FINGERPRINT_SQL),
     "binary_metadata": QuerySpec(binary_metadata, _c.BINARY_METADATA_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
-    "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, None),
+    "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, _c.EMBED_COSINE_SQL),
+    "embedding_cosine_float": QuerySpec(embedding_cosine_float, None),
     "embedding_ivf_topk": QuerySpec(embedding_ivf_topk, None),
     "doc_assembly_offsets": QuerySpec(doc_assembly_offsets, _SQL["doc_assembly_offsets"]),
     "turns_roundtrip": QuerySpec(turns_roundtrip, _SQL["turns_roundtrip"]),

@@ -178,3 +178,25 @@ def test_minhash_perm_sql_matches_column_path(spark):
         a, b = MINHASH_PERMS[i]
         want = [(a * (x * 12345 + 7) + b) % PERM_MOD for x in range(5)]
         assert got == want
+
+
+def test_quantized_cosine_agrees_with_float_path(spark, emb):
+    """The oracle-gated quantized cosine ordering must agree with the
+    real-use float path on almost all neighbors (quantization to 1e-3 can
+    flip only knife-edge ranks)."""
+    qk = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_quantized(emb, k=3, n_queries=16).collect()
+        if r["vec_id"] < 16
+    }
+    fk = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_pandas(emb, k=3, n_queries=16).collect()
+    }
+    assert len(qk & fk) / len(fk) >= 0.9
+    # cosine ordering differs from raw dot ordering when norms vary
+    dk = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.dot_topk(emb, k=3, n_queries=16).collect()
+    }
+    assert qk != dk
