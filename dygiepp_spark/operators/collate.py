@@ -24,22 +24,43 @@ from pyspark.sql import DataFrame, Window, functions as F
 from dygiepp_spark.operators.assembly import with_token_counts
 
 
-def collate(turns: DataFrame, max_sentences_per_doc: int = 16) -> DataFrame:
+def collate(
+    turns: DataFrame,
+    max_sentences_per_doc: int = 16,
+    max_spans_per_doc: int | None = None,
+) -> DataFrame:
     """Assign each turn to a pseudo-doc. Output keeps the origin columns
-    (orig_conv_id, orig_turn_idx) exactly like the reference's tags."""
+    (orig_conv_id, orig_turn_idx) exactly like the reference's tags.
+
+    ``max_spans_per_doc`` adds the reference's span-budget cost model
+    (collate.py:33-40, default 50000 there): a doc of n sentences of the
+    longest length L costs n·L² candidate spans. Because our pseudo-docs
+    are exactly length-homogeneous, the budget reduces to a per-length-group
+    sentence cap min(max_sentences, floor(max_spans / L²)) — one column
+    expression, no change to the shuffle structure (still a single
+    rank-within-length-group window)."""
     df = with_token_counts(turns)
+    cap = F.lit(max_sentences_per_doc)
+    if max_spans_per_doc is not None:
+        cap = F.greatest(
+            F.lit(1),
+            F.least(
+                cap,
+                F.floor(F.lit(max_spans_per_doc) / (F.col("n_tokens") * F.col("n_tokens"))),
+            ),
+        )
     w = Window.partitionBy("n_tokens").orderBy(
         F.col("conv_id").asc(), F.col("turn_idx").asc()
     )
-    ranked = df.withColumn("_rank", F.row_number().over(w) - 1)
+    ranked = df.withColumn("_rank", F.row_number().over(w) - 1).withColumn("_cap", cap)
     return ranked.select(
         F.concat_ws(
             "_",
             F.lit("pseudo"),
             F.col("n_tokens").cast("string"),
-            F.floor(F.col("_rank") / max_sentences_per_doc).cast("string"),
+            F.floor(F.col("_rank") / F.col("_cap")).cast("string"),
         ).alias("pseudo_doc_key"),
-        (F.col("_rank") % max_sentences_per_doc).cast("int").alias("pseudo_sent_ix"),
+        (F.col("_rank") % F.col("_cap")).cast("int").alias("pseudo_sent_ix"),
         F.col("conv_id").alias("orig_conv_id"),
         F.col("turn_idx").alias("orig_turn_idx"),
         "text",

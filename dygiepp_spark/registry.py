@@ -769,6 +769,16 @@ def collate_assignment(spark, sf_dir):
     return _longs(out)
 
 
+def collate_budget(spark, sf_dir):
+    """B6 v2 — collate under the reference's span-budget cost model
+    (collate.py:33-40: a doc of n sentences of longest length L costs n·L²;
+    default budget 50000, tightened here so it binds on transcript turns)."""
+    from dygiepp_spark.operators.collate import collate
+
+    out = collate(_turns(spark, sf_dir), max_sentences_per_doc=16, max_spans_per_doc=800)
+    return _longs(out)
+
+
 def coref_pair_metrics(spark, sf_dir):
     """F6 — coref quality as mention-pair P/R (the pairwise component of
     B³/CEAF, coref.py:461-469): pred = clustering with antecedent gap ≤ 40,
@@ -1072,6 +1082,24 @@ FROM c"""
           JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
         )"""
         ),
+        "collate_budget": q(
+            f"""WITH ranked AS (
+          SELECT t.conv_id, t.turn_idx, t.text, st.n_tokens,
+                 GREATEST(1, LEAST(16, 800 // (st.n_tokens * st.n_tokens))) AS cap,
+                 row_number() OVER (
+                   PARTITION BY st.n_tokens
+                   ORDER BY t.conv_id, t.turn_idx) - 1 AS rk
+          FROM turns t
+          JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
+        )
+        SELECT concat_ws('_', 'pseudo', CAST(n_tokens AS VARCHAR),
+                      CAST(rk // cap AS VARCHAR)) AS pseudo_doc_key,
+               CAST(rk % cap AS {_B}) AS pseudo_sent_ix,
+               conv_id AS orig_conv_id,
+               CAST(turn_idx AS {_B}) AS orig_turn_idx,
+               text, CAST(n_tokens AS {_B}) AS n_tokens
+        FROM ranked"""
+        ),
         "validation_report": q(
             f"""WITH checked AS (
           SELECT conv_id, turn_idx,
@@ -1263,6 +1291,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multi_trigger_stats": QuerySpec(multi_trigger_stats, _SQL["multi_trigger_stats"]),
     "pair_features": QuerySpec(pair_features, _SQL["pair_features"]),
     "collate_assignment": QuerySpec(collate_assignment, _SQL["collate_assignment"]),
+    "collate_budget": QuerySpec(collate_budget, _SQL["collate_budget"]),
     "coref_propagation": QuerySpec(coref_propagation, _SQL["coref_propagation"]),
     "mention_label_rollup": QuerySpec(mention_label_rollup, _SQL["mention_label_rollup"]),
     "validation_report": QuerySpec(validation_report, _SQL["validation_report"]),

@@ -84,3 +84,27 @@ def test_prediction_merge_events_and_meta(tiny_turns, spark):
             assert isinstance(arg[0], int) and isinstance(arg[2], str)
     # docs without meta row: no weight/_ fields emitted
     assert "weight" not in docs["B"] and "_idx" not in docs["B"]
+
+
+def test_collate_span_budget_property(spark):
+    """Reference cost model (collate.py:33-40): no pseudo-doc may exceed
+    n_sents × longest_len² = max_spans_per_doc, while the sentence cap
+    still holds and the corpus round-trips."""
+    turns = synth_turns(spark, n_convs=20, seed=13)
+    budget = 800
+    col = collate(turns, max_sentences_per_doc=16, max_spans_per_doc=budget)
+    stats = col.groupBy("pseudo_doc_key").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.max("n_tokens").alias("longest"),
+    )
+    over = stats.where(
+        (F.col("n_sents") * F.col("longest") * F.col("longest") > budget)
+        & (F.col("n_sents") > 1)  # a single over-budget sentence is unavoidable
+    )
+    assert over.count() == 0
+    assert stats.where("n_sents > 16").count() == 0
+    # budget actually binds on this corpus (some group capped below 16)
+    assert stats.where("n_sents < 16").count() > 0
+    back = uncollate(col)
+    assert back.count() == turns.count()
+    assert back.where("NOT is_dense").count() == 0
