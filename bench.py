@@ -67,6 +67,45 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
     total = time.perf_counter() - t_total0
 
+    # second headline: end-to-end extraction throughput on a larger
+    # synthetic corpus (~0.5M turns incl. mega-conversations) — the
+    # round-over-round scale anchor. Extra JSON keys only; the headline
+    # metric above stays comparable across rounds. Disable with
+    # SPARK_GRAFT_BENCH_BIG=0.
+    big_convs = int(os.environ.get("SPARK_GRAFT_BENCH_BIG", "30000"))
+    big = None
+    if big_convs > 0:
+        from dygiepp_spark.inference import udf as iudf
+        from dygiepp_spark.operators import canonicalize
+        from dygiepp_spark.synth import synth_turns
+
+        big_turns = (
+            synth_turns(
+                spark, n_convs=big_convs, mega_every=1000, mega_turns=2048, seed=42
+            )
+            .repartition(int(cpus) * 2)
+            .persist()
+        )
+        n_big = big_turns.count()
+
+        def _extract() -> None:
+            tall = iudf.infer(big_turns)
+            triples = iudf.triples_from(tall)
+            canonicalize.canonical_triples(
+                triples, canonicalize.alias_dict(spark)
+            ).write.format("noop").mode("overwrite").save()
+
+        _extract()  # warm-up (worker spawn + codegen), not measured
+        t0 = time.perf_counter()
+        _extract()
+        big_sec = time.perf_counter() - t0
+        big = {
+            "n_turns": n_big,
+            "sec": round(big_sec, 3),
+            "turns_per_sec": round(n_big / big_sec, 1),
+        }
+        big_turns.unpersist()
+
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 3),
@@ -77,6 +116,8 @@ def main() -> None:
         "turns_per_sec": round(n_turns * len(names) / total, 1),
         "cpus": int(cpus),
     }
+    if big is not None:
+        out["big_corpus_extraction"] = big
     print(json.dumps(out))
     spark.stop()
 
