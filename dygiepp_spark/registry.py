@@ -769,6 +769,22 @@ def collate_assignment(spark, sf_dir):
     return _longs(out)
 
 
+def uncollate_roundtrip(spark, sf_dir):
+    """B7 — uncollate(collate(turns)) restores the corpus exactly, with the
+    reference's completeness check (uncollate.py:78-86) as is_dense."""
+    from dygiepp_spark.operators.collate import collate, uncollate
+
+    out = uncollate(collate(_turns(spark, sf_dir), max_sentences_per_doc=16))
+    return _longs(out.select("conv_id", "turn_idx", "text", "is_dense"))
+
+
+def token_normalize(spark, sf_dir):
+    """B8 — token normalization ('/.' → '.', '/?' → '?';
+    reference dygie.py:213-218) applied over the corpus."""
+    out = assembly.normalize_text(_turns(spark, sf_dir))
+    return _longs(out.select("conv_id", "turn_idx", "text"))
+
+
 def collate_budget(spark, sf_dir):
     """B6 v2 — collate under the reference's span-budget cost model
     (collate.py:33-40: a doc of n sentences of longest length L costs n·L²;
@@ -1082,6 +1098,16 @@ FROM c"""
           JOIN turn_stats st ON t.conv_id = st.conv_id AND t.turn_idx = st.turn_idx
         )"""
         ),
+        "uncollate_roundtrip": q(
+            f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx, text,
+               TRUE AS is_dense
+        FROM turns"""
+        ),
+        "token_normalize": q(
+            f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               replace(replace(text, '/.', '.'), '/?', '?') AS text
+        FROM turns"""
+        ),
         "collate_budget": q(
             f"""WITH ranked AS (
           SELECT t.conv_id, t.turn_idx, t.text, st.n_tokens,
@@ -1292,6 +1318,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pair_features": QuerySpec(pair_features, _SQL["pair_features"]),
     "collate_assignment": QuerySpec(collate_assignment, _SQL["collate_assignment"]),
     "collate_budget": QuerySpec(collate_budget, _SQL["collate_budget"]),
+    "uncollate_roundtrip": QuerySpec(uncollate_roundtrip, _SQL["uncollate_roundtrip"]),
+    "token_normalize": QuerySpec(token_normalize, _SQL["token_normalize"]),
     "coref_propagation": QuerySpec(coref_propagation, _SQL["coref_propagation"]),
     "mention_label_rollup": QuerySpec(mention_label_rollup, _SQL["mention_label_rollup"]),
     "validation_report": QuerySpec(validation_report, _SQL["validation_report"]),

@@ -60,3 +60,30 @@ def test_exact_dedup_single_shuffle(spark):
         if line.strip().startswith("(") and "Exchange" in line and "BroadcastExchange" not in line
     ]
     assert len(shuffles) <= 1, shuffles
+
+
+def test_ivf_topk_no_redundant_shuffle(spark):
+    """(qid, nid) scored pairs are unique by construction (each corpus
+    vector lives in exactly one inverted list), so the IVF plan must not
+    contain a distinct/dedup aggregate over the scored pairs — only the
+    assignment/probe windows and the final top-k window shuffle."""
+    plan = _plan(spark, "embedding_ivf_topk")
+    # a reintroduced .distinct() shows up as a HashAggregate on (qid, nid)
+    bad = [
+        line for line in plan.splitlines()
+        if "HashAggregate" in line and "qid" in line and "nid" in line
+    ]
+    assert not bad, bad
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """The bounded query side must broadcast; the corpus side must never
+    shuffle before scoring (only the per-query top-k window exchanges)."""
+    plan = _plan(spark, "embedding_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    shuffles = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+        and "BroadcastExchange" not in line
+    ]
+    assert len(shuffles) <= 1, shuffles
