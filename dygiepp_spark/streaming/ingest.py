@@ -48,20 +48,10 @@ def conversation_sessions(
     )
 
 
-def start_streaming_triples(
-    turns_stream: DataFrame,
-    out_dir: str,
-    checkpoint_dir: str,
-    available_now: bool = True,
-) -> StreamingQuery:
-    """Incremental triple extraction: per micro-batch, run the SAME batch
-    extraction operators and write idempotently. foreachBatch is at-least-once
-    (a batch retried after a failure re-runs `process`), so the write is a
-    dynamic partition overwrite keyed by batch_id: a retry REPLACES its own
-    partition instead of appending duplicates — effectively exactly-once at
-    the file sink. Triple-level dedup across batches is a downstream batch
-    step (canonicalize), as global dedup in-stream would need unbounded
-    state."""
+def make_batch_writer(out_dir: str):
+    """foreachBatch handler: extract triples, write idempotently. A batch
+    retried after a failure REPLACES its own batch_id partition (dynamic
+    overwrite) instead of appending duplicates."""
     from dygiepp_spark.operators.extract import relation_triples
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -76,6 +66,25 @@ def start_streaming_triples(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+
+    return process
+
+
+def start_streaming_triples(
+    turns_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental triple extraction: per micro-batch, run the SAME batch
+    extraction operators and write idempotently. foreachBatch is at-least-once
+    (a batch retried after a failure re-runs `process`), so the write is a
+    dynamic partition overwrite keyed by batch_id: a retry REPLACES its own
+    partition instead of appending duplicates — effectively exactly-once at
+    the file sink. Triple-level dedup across batches is a downstream batch
+    step (canonicalize), as global dedup in-stream would need unbounded
+    state."""
+    process = make_batch_writer(out_dir)
 
     writer = (
         turns_stream.writeStream.foreachBatch(process)

@@ -46,3 +46,52 @@ def test_incremental_edges_match_batch(spark):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_timed_out_state_is_removed():
+    """ProcessingTimeTimeout firing must REMOVE state and emit nothing —
+    re-arming the timeout would keep idle-conversation state alive forever
+    on a continuous stream."""
+    import pandas as pd
+
+    from dygiepp_spark.streaming.stateful import _edges_for_group
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        removed = False
+        updated = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = True
+
+        def setTimeoutDuration(self, ms):
+            self.updated = True
+
+    st = FakeState()
+    frames = list(_edges_for_group(("c1",), iter([]), st))
+    assert st.removed and not st.updated
+    assert sum(len(f) for f in frames) == 0
+
+
+def test_batch_writer_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same batch_id must not
+    duplicate triples (dynamic overwrite keyed by batch_id)."""
+    from dygiepp_spark.streaming.ingest import make_batch_writer
+    from dygiepp_spark.synth import synth_turns
+
+    out = str(tmp_path / "triples")
+    writer = make_batch_writer(out)
+    turns = synth_turns(spark, n_convs=4, seed=3)
+    writer(turns, 0)
+    n1 = spark.read.parquet(out).count()
+    writer(turns, 0)  # simulated retry of the same micro-batch
+    assert spark.read.parquet(out).count() == n1
+    # a new batch appends its own partition
+    writer(synth_turns(spark, n_convs=2, seed=4), 1)
+    total = spark.read.parquet(out)
+    assert total.where("batch_id = 0").count() == n1
+    assert total.where("batch_id = 1").count() > 0
