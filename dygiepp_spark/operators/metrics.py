@@ -331,3 +331,14 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         rec.alias("recall"),
         F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4)).alias("f1"),
     )
+
+
+def conll_average(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """The reference's published coref number: the unweighted mean of MUC,
+    B³ and CEAFφ4 F1 (dygie/models/coref.py:15-16 'conll_coref_f1')."""
+    parts = conll_coref_metrics(pred, gold).where(F.col("metric").isin("muc", "b3"))
+    both = parts.unionByName(ceaf_phi4_metrics(pred, gold))
+    return both.agg(
+        F.round(F.avg("f1"), 4).alias("conll_coref_f1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+    )

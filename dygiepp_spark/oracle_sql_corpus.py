@@ -105,6 +105,13 @@ SELECT doc_id,
        CAST({' + '.join(f'(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)' for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
 FROM ballots"""
 
+HAMMING_PAIRS_SQL = f"""WITH sim AS ({SIMHASH_SQL}),
+blocked AS (SELECT doc_id, simhash, simhash % 256 AS block FROM sim)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
 _QUANT = f"list_transform(embedding, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT))"
 
 

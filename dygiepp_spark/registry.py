@@ -838,6 +838,13 @@ def coref_ceaf_metrics(spark, sf_dir):
     return metrics.ceaf_phi4_metrics(pred, gold)
 
 
+def coref_conll_avg(spark, sf_dir):
+    """F6 — the reference's published number: mean of MUC/B³/CEAFφ4 F1
+    ('conll_coref_f1', coref.py:15-16). Rows-only (includes CEAF)."""
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    return metrics.conll_average(pred, gold)
+
+
 # ------------------------------------------------- corpus-level operators
 
 def _docs(spark, sf_dir):
@@ -875,6 +882,14 @@ def near_dup_pairs(spark, sf_dir):
     from dygiepp_spark.operators import dedup
 
     return dedup.near_dup_pairs(_docs(spark, sf_dir))
+
+
+def hamming_near_pairs(spark, sf_dir):
+    """SimHash Hamming-space near-dup candidates: prefix-bit blocking
+    (Hamming LSH) + bit_count(xor) verification."""
+    from dygiepp_spark.operators import dedup
+
+    return dedup.hamming_near_pairs(dedup.simhash(_docs(spark, sf_dir)))
 
 
 def lsh_bucket_stats(spark, sf_dir):
@@ -1327,11 +1342,13 @@ QUERIES: dict[str, QuerySpec] = {
     "coref_pair_metrics": QuerySpec(coref_pair_metrics, _SQL["coref_pair_metrics"]),
     "coref_conll_metrics": QuerySpec(coref_conll_metrics, _SQL["coref_conll_metrics"]),
     "coref_ceaf_metrics": QuerySpec(coref_ceaf_metrics, None),
+    "coref_conll_avg": QuerySpec(coref_conll_avg, None),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
     "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),
     "near_dup_pairs": QuerySpec(near_dup_pairs, _c.NEAR_DUP_SQL),
     "lsh_bucket_stats": QuerySpec(lsh_bucket_stats, _c.LSH_BUCKET_STATS_SQL),
+    "hamming_near_pairs": QuerySpec(hamming_near_pairs, _c.HAMMING_PAIRS_SQL),
     "simhash_values": QuerySpec(simhash_values, _c.SIMHASH_SQL),
     "embedding_dot_topk": QuerySpec(embedding_dot_topk, _c.EMBED_TOPK_SQL),
     "embedding_lsh_buckets": QuerySpec(embedding_lsh_buckets, _c.EMBED_BUCKETS_SQL),

@@ -151,7 +151,11 @@ def parse_ann(ann: DataFrame) -> dict[str, DataFrame]:
         .withColumn("_parts", F.split(F.col("body"), " "))
         .select(
             "doc_key",
-            F.monotonically_increasing_id().alias("equiv_ix"),
+            # deterministic cluster id: hash of the member list (Equiv lines
+            # carry no id of their own — aid is '*')
+            F.xxhash64(
+                "doc_key", F.array_join(F.array_sort(F.slice("_parts", 2, F.size("_parts") - 1)), " ")
+            ).alias("equiv_ix"),
             F.slice("_parts", 2, F.size("_parts") - 1).alias("members"),
         )
     )

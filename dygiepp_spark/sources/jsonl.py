@@ -484,7 +484,12 @@ def _splice_meta(meta_map):
     typed: nested/number/bool/null snippets splice raw, plain strings are
     re-quoted. (A user string that itself looks like a number round-trips
     as a number — inherent to the snippet representation, documented.)"""
-    raw_like = r"^(\[|\{|-?[0-9]|true$|false$|null$)"
+    # raw-splice only values that are themselves complete JSON literals:
+    # nested arrays/objects, full-match numbers, booleans, null. A string
+    # like "3 days" starts with a digit but is NOT a number — quote it.
+    raw_like = (
+        r"^(\[|\{|true$|false$|null$|-?[0-9]+(\.[0-9]+)?([eE][-+]?[0-9]+)?$)"
+    )
     part = F.transform(
         F.map_entries(meta_map),
         lambda e: F.concat(

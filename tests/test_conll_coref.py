@@ -142,3 +142,10 @@ def test_conll_on_synthetic_corpus(spark):
     assert segd["b3"]["recall"] < 1.0
     ceaf_seg = metrics.ceaf_phi4_metrics(pred, gold).head()
     assert ceaf_seg["recall"] < 1.0
+
+
+def test_conll_average_identity(spark):
+    t = synth_turns(spark, n_convs=6, seed=9)
+    gold = coref.clusters_via_components(t)
+    row = metrics.conll_average(gold, gold).head()
+    assert row["conll_coref_f1"] == 1.0 and row["n_components"] == 3

@@ -119,6 +119,8 @@ def test_metadata_whitelist(spark, tmp_path):
                     "weight": 0.25,
                     "_sentence_index": [0],
                     "_tag": "keep me",
+                    "_when": "3 days",  # digit-leading STRING, must re-quote
+                    "_count": 7,
                     "bogus_field": 1,
                 }
             )
@@ -127,7 +129,7 @@ def test_metadata_whitelist(spark, tmp_path):
     docs = jsonl.read_jsonl_docs(spark, p, with_meta=True)
     row = docs.head()
     assert row["weight"] == 0.25
-    assert set(row["_meta"].keys()) == {"_sentence_index", "_tag"}
+    assert set(row["_meta"].keys()) == {"_sentence_index", "_tag", "_when", "_count"}
     rep = jsonl.doc_field_report(docs).collect()
     assert [(r["doc_key"], r["unknown_field"]) for r in rep] == [("d1", "bogus_field")]
     # full passthrough: emit predictions JSON, metadata comes back typed
@@ -138,3 +140,5 @@ def test_metadata_whitelist(spark, tmp_path):
     back = json.loads(out.head()["json"])
     assert back["weight"] == 0.25
     assert back["_sentence_index"] == [0] and back["_tag"] == "keep me"
+    assert back["_when"] == "3 days"  # not the number 3
+    assert back["_count"] == 7  # stays a number
