@@ -156,24 +156,33 @@ def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     )
     iw = inter.join(psz, on=["conv_id", "pc"]).join(gsz, on=["conv_id", "gc"])
     sc = float(B3_SCALE)
+    # coalesce every global sum to 0: with ZERO mention overlap the
+    # intersection table is empty and sums return NULL — the reference
+    # scorer reports 0.0 there, not null (f1.py zero-safe convention)
     inter_agg = iw.agg(
-        F.sum("i").cast("bigint").alias("matched"),
-        F.sum(
-            F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_g")).cast("bigint")
+        F.coalesce(F.sum("i"), F.lit(0)).cast("bigint").alias("matched"),
+        F.coalesce(
+            F.sum(
+                F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_g")).cast("bigint")
+            ),
+            F.lit(0),
         ).alias("b3_rec_sc"),
-        F.sum(
-            F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_p")).cast("bigint")
+        F.coalesce(
+            F.sum(
+                F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_p")).cast("bigint")
+            ),
+            F.lit(0),
         ).alias("b3_prec_sc"),
     )
     k_g = (
         inter.groupBy("conv_id", "gc")
         .agg(F.countDistinct("pc").alias("k"))
-        .agg(F.sum("k").cast("bigint").alias("sum_kg"))
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_kg"))
     )
     k_p = (
         inter.groupBy("conv_id", "pc")
         .agg(F.countDistinct("gc").alias("k"))
-        .agg(F.sum("k").cast("bigint").alias("sum_kp"))
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_kp"))
     )
     ptot = psz.agg(
         F.sum("size_p").cast("bigint").alias("n_pred_m"),
@@ -187,9 +196,8 @@ def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
 
     def _f1(pc, rc):
         return F.when(
-            pc.isNotNull() & rc.isNotNull() & ((pc + rc) > 0),
-            F.round(2 * pc * rc / (pc + rc), 4),
-        )
+            (pc + rc) > 0, F.round(2 * pc * rc / (pc + rc), 4)
+        ).otherwise(F.lit(0.0))
 
     def _row(name, prec, rec):
         prec, rec = F.round(prec, 4), F.round(rec, 4)
@@ -201,7 +209,7 @@ def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         )
 
     def _div(num, den):
-        return F.when(den > 0, num / den)
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
     muc = _row(
         "muc",
@@ -236,7 +244,8 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     MAX_COMPONENT raises rather than silently approximating."""
     import pandas as pd
 
-    MAX_COMPONENT = 22
+    MAX_SMALL = 18  # bitmask-DP side cap: 2^18 states
+    MAX_WORK = 200_000_000  # |big| × 2^|small| × |small| op bound per component
 
     mkey = ["conv_id", "doc_pos"]
     p = pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos")
@@ -284,7 +293,11 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         for comp_edges in comps.values():
             gcs = sorted({gc for _, gc, _ in comp_edges})
             pcs = sorted({pc for pc, _, _ in comp_edges})
-            if len(gcs) > MAX_COMPONENT and len(pcs) > MAX_COMPONENT:
+            n_small, n_big = sorted((len(gcs), len(pcs)))
+            # bound the DP, not just one side: work = big × 2^small × small,
+            # so a 22×1000 component would otherwise "pass" the guard and
+            # hang the task instead of raising cleanly
+            if n_small > MAX_SMALL or n_big * (1 << n_small) * n_small > MAX_WORK:
                 raise ValueError(
                     f"CEAF component too wide ({len(pcs)}x{len(gcs)}) in {conv}"
                 )
@@ -319,17 +332,23 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         best_matching, "conv_id string, sum_phi4 double"
     )
     tot = (
-        per_conv.agg(F.sum("sum_phi4").alias("sum_phi4"))
+        per_conv.agg(F.coalesce(F.sum("sum_phi4"), F.lit(0.0)).alias("sum_phi4"))
         .crossJoin(psz.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred_cl")))
         .crossJoin(gsz.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold_cl")))
     )
-    prec = F.round(F.col("sum_phi4") / F.col("n_pred_cl"), 4)
-    rec = F.round(F.col("sum_phi4") / F.col("n_gold_cl"), 4)
+
+    def _safe(num, den):
+        return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
+
+    prec = _safe(F.col("sum_phi4"), F.col("n_pred_cl"))
+    rec = _safe(F.col("sum_phi4"), F.col("n_gold_cl"))
     return tot.select(
         F.lit("ceaf_phi4").alias("metric"),
         prec.alias("precision"),
         rec.alias("recall"),
-        F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4)).alias("f1"),
+        F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
     )
 
 

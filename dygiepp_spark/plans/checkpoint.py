@@ -118,10 +118,19 @@ def run_with_checkpoint(
     # files (and the lineage row below would record the stale count). Purge
     # every todo partition explicitly before the write — an interrupted run
     # just recomputes them (lineage commits last). Iceberg's
-    # overwritePartitions() does this with delete predicates; parquet-on-FS
-    # needs the explicit delete.
+    # overwritePartitions() does this with delete predicates; the
+    # parquet-on-FS stand-in needs an explicit local delete, and it must
+    # FAIL LOUDLY if it can't delete — a swallowed error here would
+    # resurrect the stale-data bug silently.
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise NotImplementedError(
+            "parquet-on-FS checkpoint purge is local-FS only; use the "
+            "Iceberg backend (overwritePartitions) for remote storage"
+        )
     for k in todo:
-        shutil.rmtree(os.path.join(data_path, f"{PART_COL}={k}"), ignore_errors=True)
+        part_dir = os.path.join(data_path, f"{PART_COL}={k}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)  # raises on failure — never skip silently
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         out_keyed.repartition(PART_COL)

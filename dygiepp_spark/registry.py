@@ -1270,35 +1270,42 @@ FROM c"""
         ),
         s AS (
           SELECT
-            (SELECT SUM(i) FROM iw) AS matched,
-            (SELECT SUM(CAST(round(1000000.0 * i * i / size_g) AS BIGINT)) FROM iw) AS b3_rec_sc,
-            (SELECT SUM(CAST(round(1000000.0 * i * i / size_p) AS BIGINT)) FROM iw) AS b3_prec_sc,
-            (SELECT SUM(k) FROM (SELECT conv_id, gc, COUNT(DISTINCT pc) AS k FROM i GROUP BY 1, 2)) AS sum_kg,
-            (SELECT SUM(k) FROM (SELECT conv_id, pc, COUNT(DISTINCT gc) AS k FROM i GROUP BY 1, 2)) AS sum_kp,
-            (SELECT SUM(size_p) FROM psz) AS n_pred_m,
+            COALESCE((SELECT SUM(i) FROM iw), 0) AS matched,
+            COALESCE((SELECT SUM(CAST(round(1000000.0 * i * i / size_g) AS BIGINT)) FROM iw), 0) AS b3_rec_sc,
+            COALESCE((SELECT SUM(CAST(round(1000000.0 * i * i / size_p) AS BIGINT)) FROM iw), 0) AS b3_prec_sc,
+            COALESCE((SELECT SUM(k) FROM (SELECT conv_id, gc, COUNT(DISTINCT pc) AS k FROM i GROUP BY 1, 2)), 0) AS sum_kg,
+            COALESCE((SELECT SUM(k) FROM (SELECT conv_id, pc, COUNT(DISTINCT gc) AS k FROM i GROUP BY 1, 2)), 0) AS sum_kp,
+            COALESCE((SELECT SUM(size_p) FROM psz), 0) AS n_pred_m,
             (SELECT COUNT(*) FROM psz) AS n_pred_cl,
-            (SELECT SUM(size_g) FROM gsz) AS n_gold_m,
+            COALESCE((SELECT SUM(size_g) FROM gsz), 0) AS n_gold_m,
             (SELECT COUNT(*) FROM gsz) AS n_gold_cl
         ),
         rows_ AS (
           SELECT 'muc' AS metric,
-                 round((matched - sum_kp) / (n_pred_m - n_pred_cl), 4) AS precision,
-                 round((matched - sum_kg) / (n_gold_m - n_gold_cl), 4) AS recall
+                 CASE WHEN n_pred_m - n_pred_cl > 0
+                      THEN round((matched - sum_kp) / (n_pred_m - n_pred_cl), 4)
+                      ELSE 0.0 END AS precision,
+                 CASE WHEN n_gold_m - n_gold_cl > 0
+                      THEN round((matched - sum_kg) / (n_gold_m - n_gold_cl), 4)
+                      ELSE 0.0 END AS recall
           FROM s
           UNION ALL
           SELECT 'b3',
-                 round(b3_prec_sc / (1000000.0 * n_pred_m), 4),
-                 round(b3_rec_sc / (1000000.0 * n_gold_m), 4)
+                 CASE WHEN n_pred_m > 0
+                      THEN round(b3_prec_sc / (1000000.0 * n_pred_m), 4) ELSE 0.0 END,
+                 CASE WHEN n_gold_m > 0
+                      THEN round(b3_rec_sc / (1000000.0 * n_gold_m), 4) ELSE 0.0 END
           FROM s
           UNION ALL
           SELECT 'mention',
-                 round(matched / n_pred_m, 4),
-                 round(matched / n_gold_m, 4)
+                 CASE WHEN n_pred_m > 0 THEN round(matched / n_pred_m, 4) ELSE 0.0 END,
+                 CASE WHEN n_gold_m > 0 THEN round(matched / n_gold_m, 4) ELSE 0.0 END
           FROM s
         )
         SELECT metric, precision, recall,
                CASE WHEN precision + recall > 0
                     THEN round(2 * precision * recall / (precision + recall), 4)
+                    ELSE 0.0
                END AS f1
         FROM rows_"""
         ),

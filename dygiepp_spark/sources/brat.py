@@ -348,9 +348,33 @@ def brat_gold(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         F.col("a.role").alias("role"),
     )
 
-    dropped = aligned.where(F.col("drop_reason").isNotNull()).groupBy(
+    ent_drops = aligned.where(F.col("drop_reason").isNotNull()).groupBy(
         "doc_key", F.lit("entity").alias("kind"), "drop_reason"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rel_drops = (
+        rel_joined.withColumn(
+            "drop_reason",
+            F.when(F.col("s1").isNull() | F.col("s2").isNull(), "unaligned_arg")
+            .when(F.col("s1") != F.col("s2"), "cross_sentence"),
+        )
+        .where(F.col("drop_reason").isNotNull())
+        .groupBy("doc_key", F.lit("relation").alias("kind"), "drop_reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    trig_drop_events = (
+        ann["events"]
+        .join(trig, on=["doc_key", "trigger_tid"], how="left_anti")
+        .select("doc_key", "eid", F.lit("unaligned_trigger").alias("drop_reason"))
+    )
+    event_drops = (
+        trig_drop_events.unionByName(
+            bad_events.select("doc_key", "eid", F.lit("bad_argument").alias("drop_reason"))
+        )
+        .distinct()
+        .groupBy("doc_key", F.lit("event").alias("kind"), "drop_reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dropped = ent_drops.unionByName(rel_drops).unionByName(event_drops)
 
     return {
         "turns": turns,

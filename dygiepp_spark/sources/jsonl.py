@@ -454,9 +454,17 @@ def gold_events_from_docs(docs: DataFrame) -> DataFrame:
 
 
 def _jq(c):
-    """JSON-quote a string column (labels/metadata keys are alnum in
-    practice; escaping keeps arbitrary strings valid)."""
-    return F.concat(F.lit('"'), F.regexp_replace(c, r'(["\\])', r"\\$1"), F.lit('"'))
+    """JSON-quote a string column: escape backslash/quote, then the common
+    C0 controls (\\n, \\r, \\t) per RFC 8259 — a raw newline inside a string
+    would also break the one-doc-per-line JSONL contract. Remaining C0
+    controls (vanishingly rare in labels/metadata) are dropped rather than
+    emitted invalid."""
+    c = F.regexp_replace(c, r'(["\\])', r"\\$1")
+    c = F.regexp_replace(c, r"\n", r"\\n")
+    c = F.regexp_replace(c, r"\r", r"\\r")
+    c = F.regexp_replace(c, r"\t", r"\\t")
+    c = F.regexp_replace(c, r"[\x00-\x1f]", "")
+    return F.concat(F.lit('"'), c, F.lit('"'))
 
 
 def _score(c):
@@ -481,22 +489,26 @@ def _entry_list(entries: DataFrame, name: str) -> DataFrame:
 
 def _splice_meta(meta_map):
     """map<_field, raw JSON snippet> → ',"_k":v,...' with values re-emitted
-    typed: nested/number/bool/null snippets splice raw, plain strings are
-    re-quoted. (A user string that itself looks like a number round-trips
-    as a number — inherent to the snippet representation, documented.)"""
-    # raw-splice only values that are themselves complete JSON literals:
-    # nested arrays/objects, full-match numbers, booleans, null. A string
-    # like "3 days" starts with a digit but is NOT a number — quote it.
-    raw_like = (
-        r"^(\[|\{|true$|false$|null$|-?[0-9]+(\.[0-9]+)?([eE][-+]?[0-9]+)?$)"
-    )
+    typed: a snippet splices as JSON only if it BOTH has the shape of a
+    JSON literal (regex: nested [/{ prefix, or a FULL-match number/bool/
+    null) AND actually parses (try_parse_json alone is too lenient — it
+    accepts "3 days" as the number 3). What splices is the re-serialized
+    parsed value (to_json of the variant), so the output is guaranteed
+    valid JSON even for snippets with odd whitespace; everything else —
+    "[draft", "007", "3 days" — re-quotes as a string. (A user string that
+    IS valid JSON, e.g. "true", round-trips typed — inherent to the
+    snippet representation.)"""
+    literal_shape = r"^(\[|\{|true$|false$|null$|-?[0-9]+(\.[0-9]+)?([eE][-+]?[0-9]+)?$)"
+
+    def _emit(v):
+        parsed = F.try_parse_json(v)
+        return F.when(
+            v.rlike(literal_shape) & parsed.isNotNull(), F.to_json(parsed)
+        ).otherwise(_jq(v))
+
     part = F.transform(
         F.map_entries(meta_map),
-        lambda e: F.concat(
-            _jq(e["key"]),
-            F.lit(":"),
-            F.when(e["value"].rlike(raw_like), e["value"]).otherwise(_jq(e["value"])),
-        ),
+        lambda e: F.concat(_jq(e["key"]), F.lit(":"), _emit(e["value"])),
     )
     return F.when(
         meta_map.isNotNull() & (F.size(F.map_entries(meta_map)) > 0),

@@ -59,12 +59,14 @@ def test_entity_alignment_and_drops(corpus):
     assert ner[(0, 2, 2)] == "Trigger"
     assert len(ner) == 4
     dropped = {
-        r["drop_reason"]: r["n"] for r in corpus["dropped"].collect()
+        (r["kind"], r["drop_reason"]): r["n"] for r in corpus["dropped"].collect()
     }
     assert dropped == {
-        "tokenization_mismatch": 1,
-        "disjoint": 1,
-        "cross_sentence": 1,
+        ("entity", "tokenization_mismatch"): 1,  # T4
+        ("entity", "disjoint"): 1,  # T5
+        ("entity", "cross_sentence"): 1,  # T6
+        ("relation", "cross_sentence"): 1,  # R2
+        ("event", "bad_argument"): 1,  # E2 (arg T6 unalignable)
     }
 
 

@@ -149,3 +149,20 @@ def test_conll_average_identity(spark):
     gold = coref.clusters_via_components(t)
     row = metrics.conll_average(gold, gold).head()
     assert row["conll_coref_f1"] == 1.0 and row["n_components"] == 3
+
+
+def test_conll_metrics_zero_overlap_is_zero_not_null(spark):
+    """Zero mention overlap must report 0.0 everywhere (reference f1.py
+    zero-safe convention), never NULL — and the average must still count
+    all three components."""
+    pred = _df(spark, {"c": [{1, 2}]})
+    gold = _df(spark, {"c": [{10, 11}]})
+    rows = {r["metric"]: r for r in metrics.conll_coref_metrics(pred, gold).collect()}
+    for m in ("muc", "b3", "mention"):
+        assert rows[m]["precision"] == 0.0
+        assert rows[m]["recall"] == 0.0
+        assert rows[m]["f1"] == 0.0
+    ceaf = metrics.ceaf_phi4_metrics(pred, gold).head()
+    assert (ceaf["precision"], ceaf["recall"], ceaf["f1"]) == (0.0, 0.0, 0.0)
+    avg = metrics.conll_average(pred, gold).head()
+    assert avg["conll_coref_f1"] == 0.0 and avg["n_components"] == 3

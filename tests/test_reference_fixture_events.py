@@ -142,3 +142,42 @@ def test_metadata_whitelist(spark, tmp_path):
     assert back["_sentence_index"] == [0] and back["_tag"] == "keep me"
     assert back["_when"] == "3 days"  # not the number 3
     assert back["_count"] == 7  # stays a number
+
+
+def test_metadata_splice_never_emits_invalid_json(spark, tmp_path):
+    """Adversarial metadata values: almost-JSON strings must re-quote, real
+    JSON must splice typed, and every emitted line must parse."""
+    import json as _json
+
+    p = str(tmp_path / "adv.jsonl")
+    meta = {
+        "_a": "[draft",
+        "_b": "007",
+        "_c": "3 days",
+        "_d": "true",
+        "_e": [1, 2],
+        "_f": {"k": "v"},
+        "_g": -1.5e-3,
+        "_h": "line\nbreak",
+    }
+    with open(p, "w") as f:
+        f.write(
+            _json.dumps(
+                {"doc_key": "d", "dataset": "x", "sentences": [["a", "b"]], **meta}
+            )
+            + "\n"
+        )
+    from dygiepp_spark.sources import jsonl as J
+
+    docs = J.read_jsonl_docs(spark, p, with_meta=True)
+    out = J.predictions_to_doc_json(
+        J.docs_to_turns(docs), docs_meta=docs.select("doc_key", "_meta")
+    )
+    line = out.head()["json"]
+    back = _json.loads(line)  # must not raise
+    assert back["_a"] == "[draft" and back["_b"] == "007" and back["_c"] == "3 days"
+    assert back["_d"] is True  # string 'true' is valid JSON — round-trips typed
+    assert back["_e"] == [1, 2] and back["_f"] == {"k": "v"}
+    assert back["_g"] == -1.5e-3
+    assert back["_h"] == "line\nbreak"
+    assert "\n" not in line  # one-doc-per-line contract holds
