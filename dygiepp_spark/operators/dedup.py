@@ -128,13 +128,23 @@ def lsh_band_signatures(shingles: DataFrame) -> DataFrame:
     return folded
 
 
-def lsh_candidate_pairs(shingles: DataFrame, max_bucket: int = 64) -> DataFrame:
+def lsh_candidate_pairs(
+    shingles: DataFrame, max_bucket: int = 64, persist_bands: bool = False
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket.
 
     Buckets larger than `max_bucket` are dropped (cross-join bomb guard);
     callers needing exhaustivity raise the cap explicitly.
-    """
+
+    ``persist_bands`` caches the band-signature table before the a/b
+    self-join — without it the whole shingle→minhash→band pipeline runs
+    TWICE (once per join side); at corpus scale that is re-tokenizing the
+    corpus an extra time. Spill-safe (MEMORY_AND_DISK)."""
     bands = lsh_band_signatures(shingles)
+    if persist_bands:
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     sized = bands.withColumn(
         "bucket_size",
         F.count(F.lit(1)).over(Window.partitionBy("band_ix", "band_hash")),
@@ -204,11 +214,25 @@ def near_dup_pairs(
     text_col: str = "text",
     threshold_num: int = 1,
     threshold_den: int = 4,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates verified at Jaccard ≥ num/den (integer test:
-    den·|∩| ≥ num·|∪|)."""
+    den·|∩| ≥ num·|∪|).
+
+    The shingle table feeds FIVE downstream branches (band signatures,
+    both sides of the candidate self-join via bands, both sides of the
+    intersection join, and the per-doc size table); without
+    ``persist_shingles`` Catalyst recomputes the tokenize→2-gram→hash→
+    distinct pipeline for each branch (measured: 8 full corpus scans in
+    the physical plan). Persisting is spill-safe (MEMORY_AND_DISK) and
+    turns that into one scan + cache reads — the difference between
+    tokenizing 100 TB once and eight times."""
     sh = shingle_hashes(docs, id_col, text_col)
-    cands = lsh_candidate_pairs(sh)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(sh, persist_bands=persist_shingles)
     jc = jaccard_counts(cands, sh)
     return jc.where(
         F.col("n_inter") * threshold_den >= F.col("n_union") * threshold_num

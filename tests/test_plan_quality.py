@@ -87,3 +87,15 @@ def test_cosine_topk_broadcasts_queries(spark):
         and "BroadcastExchange" not in line
     ]
     assert len(shuffles) <= 1, shuffles
+
+
+def test_near_dup_single_corpus_scan(spark):
+    """The shingle table feeds 5 branches; the persisted pipeline must read
+    the corpus ONCE and serve every branch from cache (was 8 full scans)."""
+    plan = _plan(spark, "near_dup_pairs")
+    scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    assert scans == 1, f"{scans} parquet scans\n"
+    assert "InMemoryTableScan" in plan
