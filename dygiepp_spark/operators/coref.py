@@ -55,7 +55,10 @@ def antecedent_edges(mentions: DataFrame, max_gap: int | None = None) -> DataFra
 
 
 def clusters_via_components(
-    turns: DataFrame, max_gap: int | None = None, global_cc: bool = False
+    turns: DataFrame,
+    max_gap: int | None = None,
+    global_cc: bool = False,
+    persist_mentions: bool = True,
 ) -> DataFrame:
     """E4 — cluster formation as distributed connected components.
 
@@ -76,6 +79,13 @@ def clusters_via_components(
     from dygiepp_spark.operators.graph import connected_components_grouped
 
     mentions = coref_mentions(turns)
+    if persist_mentions:
+        # mentions feed BOTH the edge derivation and the final component
+        # join — without a persist the extraction pipeline runs twice
+        # (spill-safe; one row per entity token)
+        from pyspark import StorageLevel
+
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     edges = antecedent_edges(mentions, max_gap=max_gap)
     if global_cc:
         from dygiepp_spark.operators.graph import connected_components

@@ -799,8 +799,6 @@ def coref_pair_metrics(spark, sf_dir):
     """F6 — coref quality as mention-pair P/R (the pairwise component of
     B³/CEAF, coref.py:461-469): pred = clustering with antecedent gap ≤ 40,
     gold = unrestricted clustering."""
-    t = _turns(spark, sf_dir)
-
     def pairs(cl):
         a = cl.select("conv_id", "cluster_id", F.col("doc_pos").alias("pa"))
         b = cl.select("conv_id", "cluster_id", F.col("doc_pos").alias("pb"))
@@ -810,15 +808,23 @@ def coref_pair_metrics(spark, sf_dir):
             .select("conv_id", "pa", "pb")
         )
 
-    pred = pairs(coref.clusters_via_components(t, max_gap=40))
-    gold = pairs(coref.clusters_via_components(t))
-    return metrics.micro_prf(pred, gold, ["conv_id", "pa", "pb"], task="coref_pairs")
+    pred_cl, gold_cl = _pred_gold_clusters(spark, sf_dir)
+    return metrics.micro_prf(
+        pairs(pred_cl), pairs(gold_cl), ["conv_id", "pa", "pb"], task="coref_pairs"
+    )
 
 
 def _pred_gold_clusters(spark, sf_dir):
+    from pyspark import StorageLevel
+
     t = _turns(spark, sf_dir)
-    pred = coref.clusters_via_components(t, max_gap=40)
-    gold = coref.clusters_via_components(t)
+    # persist the cluster tables: the CoNLL metric families each read them
+    # several times, and the clustering pipeline (extraction + CC) is the
+    # expensive part of the lineage
+    pred = coref.clusters_via_components(t, max_gap=40).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    gold = coref.clusters_via_components(t).persist(StorageLevel.MEMORY_AND_DISK)
     return pred, gold
 
 
