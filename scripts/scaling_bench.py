@@ -90,7 +90,9 @@ def main() -> None:
     print(json.dumps(result))
 
     rows = "\n".join(
-        f"| {c} | {runs[c]['sec']} | {runs[c]['turns_per_sec']} |" for c in levels
+        f"| {c} | {runs[c]['sec']} | {runs[c]['turns_per_sec']} | "
+        f"{round(runs[c]['turns_per_sec'] / c)} |"
+        for c in levels
     )
     pair_lines = "\n".join(
         f"- {k.replace('to', ' → ').replace('_x2', ' (×2 doubling)')} cores: **{v}**"
@@ -111,8 +113,8 @@ best of {rounds} interleaved ladder passes × 2 in-process reps: guest vCPU
 noise is one-sided (the host only steals cycles), so best-observed
 throughput is the engine's demonstrated capability at that width.
 
-| cores | wall sec | turns/sec |
-|---|---|---|
+| cores | wall sec | turns/sec | per-core |
+|---|---|---|---|
 {rows}
 
 **Scaling efficiency N→4N** (efficiency = throughput(4N) / (4 × throughput(N));
