@@ -33,10 +33,19 @@ def run_at(cpus: int, n_convs: int) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "scaling_job.py")]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}", *cmd]
-    out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # a long ladder launches many back-to-back JVMs; the sandbox very
+    # occasionally kills one (transient, not reproducible standalone) —
+    # retry instead of aborting the whole measurement, and surface stderr
+    last_err = ""
+    for attempt in range(3):
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
+        if out.returncode == 0 and out.stdout.strip():
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        last_err = out.stderr[-2000:]
+        print(f"[scaling_bench] level {cpus} attempt {attempt + 1} failed "
+              f"(rc={out.returncode}); stderr tail:\n{last_err}", file=sys.stderr)
+        time.sleep(30)
+    raise RuntimeError(f"scaling job at {cpus} cores failed 3 times: {last_err}")
 
 
 def main() -> None:
