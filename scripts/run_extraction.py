@@ -19,7 +19,7 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--turns", required=True,
                    help="iceberg table name, parquet path, or synth:<n_convs>")
@@ -64,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
 
     summary["n_canonical"] = spark.read.parquet(f"{args.out}/data/canonical").count()
     print(json.dumps(summary))
-    spark.stop()
+    if stop_session:  # False for in-process callers (tests) sharing a session
+        spark.stop()
     return 0
 
 

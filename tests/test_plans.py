@@ -105,3 +105,31 @@ def test_skew_report(spark):
     rep = skew.skew_report(turns, cfg).collect()
     assert {r["conv_id"] for r in rep} == {"conv0", "conv6"}
     assert all(r["row_share"] > 0 for r in rep)
+
+
+def test_run_extraction_entrypoint(spark, tmp_path):
+    """The spark-submit entrypoint runs end-to-end (synth input, udf
+    backend) and resumes as a no-op on the second invocation."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_extraction",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "run_extraction.py"),
+    )
+    rx = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rx)
+
+    out = str(tmp_path / "kg")
+    rc = rx.main(
+        ["--turns", "synth:12", "--out", out, "--run-id", "t1"], stop_session=False
+    )
+    assert rc == 0
+    canon = spark.read.parquet(out + "/data/canonical")
+    assert canon.count() > 0
+    assert {"subj_canonical", "pred", "obj_canonical"} <= set(canon.columns)
+    # resume: same input fingerprints, triple extraction skips
+    rc2 = rx.main(
+        ["--turns", "synth:12", "--out", out, "--run-id", "t2"], stop_session=False
+    )
+    assert rc2 == 0
