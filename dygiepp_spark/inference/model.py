@@ -137,13 +137,19 @@ class StandInModel:
         return out
 
 
-_MODEL: StandInModel | None = None
+_MODELS: dict[PipelineConfig, StandInModel] = {}
 
 
 def get_model(cfg: PipelineConfig | None = None) -> StandInModel:
-    """Per-executor singleton (one model load per Python worker, the A5
-    pattern: ship weights with --py-files/--archives, load lazily)."""
-    global _MODEL
-    if _MODEL is None:
-        _MODEL = StandInModel(cfg)
-    return _MODEL
+    """Per-executor, per-config singleton (one model load per Python worker,
+    the A5 pattern: ship weights with --py-files/--archives, load lazily).
+
+    Keyed on the (frozen, hashable) PipelineConfig: two jobs sharing one
+    Python worker with different configs (e.g. different
+    ``max_pair_distance``) each get their own model — a single global would
+    silently serve the first caller's config to the second job."""
+    key = cfg or PipelineConfig()
+    model = _MODELS.get(key)
+    if model is None:
+        model = _MODELS[key] = StandInModel(key)
+    return model

@@ -82,10 +82,13 @@ def clusters_via_components(
     if persist_mentions:
         # mentions feed BOTH the edge derivation and the final component
         # join — without a persist the extraction pipeline runs twice
-        # (spill-safe; one row per entity token)
+        # (spill-safe; one row per entity token). Registered with
+        # plans.cache so long-lived sessions can release it.
         from pyspark import StorageLevel
 
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        from dygiepp_spark.plans import cache
+
+        mentions = cache.track(mentions.persist(StorageLevel.MEMORY_AND_DISK))
     edges = antecedent_edges(mentions, max_gap=max_gap)
     if global_cc:
         from dygiepp_spark.operators.graph import connected_components

@@ -144,7 +144,9 @@ def lsh_candidate_pairs(
     if persist_bands:
         from pyspark import StorageLevel
 
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        from dygiepp_spark.plans import cache
+
+        bands = cache.track(bands.persist(StorageLevel.MEMORY_AND_DISK))
     sized = bands.withColumn(
         "bucket_size",
         F.count(F.lit(1)).over(Window.partitionBy("band_ix", "band_hash")),
@@ -231,7 +233,9 @@ def near_dup_pairs(
     if persist_shingles:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from dygiepp_spark.plans import cache
+
+        sh = cache.track(sh.persist(StorageLevel.MEMORY_AND_DISK))
     cands = lsh_candidate_pairs(sh, persist_bands=persist_shingles)
     jc = jaccard_counts(cands, sh)
     return jc.where(

@@ -117,6 +117,17 @@ def multi_trigger_stats(arguments: DataFrame) -> DataFrame:
 B3_SCALE = 1_000_000  # fixed-point scale for B³ per-cluster terms
 
 
+def _eager(df: DataFrame) -> DataFrame:
+    """Materialize a tiny metric result (a handful of scalar rows) and
+    rebuild it as a local DataFrame with the same schema. Metric outputs
+    are terminal numbers, so eager evaluation is semantically free — and it
+    lets the persisted intermediates release immediately instead of
+    accumulating MEMORY_AND_DISK blocks across repeated metric calls in a
+    long-lived session (pinned: test_conll_coref.py persistent-RDD test)."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
 def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """F6 — CoNLL coreference metrics as pure DataFrame aggregations:
     MUC (link-based) and B³ (mention-based) precision/recall/F1 plus
@@ -143,7 +154,9 @@ def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     tables and the intersection table each feed several aggregates, so
     they persist (spill-safe) — without that, the CALLER's clustering
     pipeline re-runs once per downstream branch (measured: 120 corpus
-    scans in the un-persisted physical plan)."""
+    scans in the un-persisted physical plan). The result materializes
+    eagerly so every persist releases before return (no cache growth
+    across repeated calls)."""
     from pyspark import StorageLevel
 
     mkey = ["conv_id", "doc_pos"]
@@ -159,85 +172,90 @@ def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    psz = p.groupBy("conv_id", "pc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("size_p")
-    )
-    gsz = g.groupBy("conv_id", "gc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("size_g")
-    )
-    iw = inter.join(psz, on=["conv_id", "pc"]).join(gsz, on=["conv_id", "gc"])
-    sc = float(B3_SCALE)
-    # coalesce every global sum to 0: with ZERO mention overlap the
-    # intersection table is empty and sums return NULL — the reference
-    # scorer reports 0.0 there, not null (f1.py zero-safe convention)
-    inter_agg = iw.agg(
-        F.coalesce(F.sum("i"), F.lit(0)).cast("bigint").alias("matched"),
-        F.coalesce(
-            F.sum(
-                F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_g")).cast("bigint")
-            ),
-            F.lit(0),
-        ).alias("b3_rec_sc"),
-        F.coalesce(
-            F.sum(
-                F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_p")).cast("bigint")
-            ),
-            F.lit(0),
-        ).alias("b3_prec_sc"),
-    )
-    k_g = (
-        inter.groupBy("conv_id", "gc")
-        .agg(F.countDistinct("pc").alias("k"))
-        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_kg"))
-    )
-    k_p = (
-        inter.groupBy("conv_id", "pc")
-        .agg(F.countDistinct("gc").alias("k"))
-        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_kp"))
-    )
-    ptot = psz.agg(
-        F.sum("size_p").cast("bigint").alias("n_pred_m"),
-        F.count(F.lit(1)).cast("bigint").alias("n_pred_cl"),
-    )
-    gtot = gsz.agg(
-        F.sum("size_g").cast("bigint").alias("n_gold_m"),
-        F.count(F.lit(1)).cast("bigint").alias("n_gold_cl"),
-    )
-    s = inter_agg.crossJoin(k_g).crossJoin(k_p).crossJoin(ptot).crossJoin(gtot)
-
-    def _f1(pc, rc):
-        return F.when(
-            (pc + rc) > 0, F.round(2 * pc * rc / (pc + rc), 4)
-        ).otherwise(F.lit(0.0))
-
-    def _row(name, prec, rec):
-        prec, rec = F.round(prec, 4), F.round(rec, 4)
-        return s.select(
-            F.lit(name).alias("metric"),
-            prec.alias("precision"),
-            rec.alias("recall"),
-            _f1(prec, rec).alias("f1"),
+    try:
+        psz = p.groupBy("conv_id", "pc").agg(
+            F.count(F.lit(1)).cast("bigint").alias("size_p")
         )
+        gsz = g.groupBy("conv_id", "gc").agg(
+            F.count(F.lit(1)).cast("bigint").alias("size_g")
+        )
+        iw = inter.join(psz, on=["conv_id", "pc"]).join(gsz, on=["conv_id", "gc"])
+        sc = float(B3_SCALE)
+        # coalesce every global sum to 0: with ZERO mention overlap the
+        # intersection table is empty and sums return NULL — the reference
+        # scorer reports 0.0 there, not null (f1.py zero-safe convention)
+        inter_agg = iw.agg(
+            F.coalesce(F.sum("i"), F.lit(0)).cast("bigint").alias("matched"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_g")).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("b3_rec_sc"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.lit(sc) * F.col("i") * F.col("i") / F.col("size_p")).cast("bigint")
+                ),
+                F.lit(0),
+            ).alias("b3_prec_sc"),
+        )
+        k_g = (
+            inter.groupBy("conv_id", "gc")
+            .agg(F.countDistinct("pc").alias("k"))
+            .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_kg"))
+        )
+        k_p = (
+            inter.groupBy("conv_id", "pc")
+            .agg(F.countDistinct("gc").alias("k"))
+            .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("sum_kp"))
+        )
+        ptot = psz.agg(
+            F.sum("size_p").cast("bigint").alias("n_pred_m"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pred_cl"),
+        )
+        gtot = gsz.agg(
+            F.sum("size_g").cast("bigint").alias("n_gold_m"),
+            F.count(F.lit(1)).cast("bigint").alias("n_gold_cl"),
+        )
+        s = inter_agg.crossJoin(k_g).crossJoin(k_p).crossJoin(ptot).crossJoin(gtot)
 
-    def _div(num, den):
-        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+        def _f1(pc, rc):
+            return F.when(
+                (pc + rc) > 0, F.round(2 * pc * rc / (pc + rc), 4)
+            ).otherwise(F.lit(0.0))
 
-    muc = _row(
-        "muc",
-        _div(F.col("matched") - F.col("sum_kp"), F.col("n_pred_m") - F.col("n_pred_cl")),
-        _div(F.col("matched") - F.col("sum_kg"), F.col("n_gold_m") - F.col("n_gold_cl")),
-    )
-    b3 = _row(
-        "b3",
-        _div(F.col("b3_prec_sc"), F.lit(B3_SCALE) * F.col("n_pred_m")),
-        _div(F.col("b3_rec_sc"), F.lit(B3_SCALE) * F.col("n_gold_m")),
-    )
-    mention = _row(
-        "mention",
-        _div(F.col("matched"), F.col("n_pred_m")),
-        _div(F.col("matched"), F.col("n_gold_m")),
-    )
-    return muc.unionByName(b3).unionByName(mention)
+        def _row(name, prec, rec):
+            prec, rec = F.round(prec, 4), F.round(rec, 4)
+            return s.select(
+                F.lit(name).alias("metric"),
+                prec.alias("precision"),
+                rec.alias("recall"),
+                _f1(prec, rec).alias("f1"),
+            )
+
+        def _div(num, den):
+            return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+        muc = _row(
+            "muc",
+            _div(F.col("matched") - F.col("sum_kp"), F.col("n_pred_m") - F.col("n_pred_cl")),
+            _div(F.col("matched") - F.col("sum_kg"), F.col("n_gold_m") - F.col("n_gold_cl")),
+        )
+        b3 = _row(
+            "b3",
+            _div(F.col("b3_prec_sc"), F.lit(B3_SCALE) * F.col("n_pred_m")),
+            _div(F.col("b3_rec_sc"), F.lit(B3_SCALE) * F.col("n_gold_m")),
+        )
+        mention = _row(
+            "mention",
+            _div(F.col("matched"), F.col("n_pred_m")),
+            _div(F.col("matched"), F.col("n_gold_m")),
+        )
+        return _eager(muc.unionByName(b3).unionByName(mention))
+    finally:
+        inter.unpersist()
+        p.unpersist()
+        g.unpersist()
 
 
 def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
@@ -252,7 +270,16 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     the intersection graph, each solved exactly by bitmask DP inside one
     applyInPandas group. Components are tiny by construction (a gold entity
     fragments into a handful of predicted segments); a component wider than
-    MAX_COMPONENT raises rather than silently approximating."""
+    the DP bound is scored with the greedy-matching LOWER BOUND and counted
+    in the `wide_components` output column instead of raising — one
+    pathological conversation must not abort the whole metrics job
+    (skip-and-flag, the reference's _FAILED_PREDICTION convention,
+    predictors/dygie.py:57-68, and this repo's inference UDF `_failed`
+    batches). Greedy on a φ4 matrix is a ½-approximation, so a nonzero
+    flag means "CEAF is a lower bound here", never a silent wrong number.
+
+    The result materializes eagerly so the persisted mention tables release
+    before return."""
     import pandas as pd
 
     from pyspark import StorageLevel
@@ -267,114 +294,167 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     g = gold.select("conv_id", F.col("cluster_id").alias("gc"), "doc_pos").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    inter = (
-        p.join(g, on=mkey)
-        .groupBy("conv_id", "pc", "gc")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
-    )
-    psz = p.groupBy("conv_id", "pc").agg(F.count(F.lit(1)).cast("bigint").alias("size_p"))
-    gsz = g.groupBy("conv_id", "gc").agg(F.count(F.lit(1)).cast("bigint").alias("size_g"))
-    iw = (
-        inter.join(psz, on=["conv_id", "pc"])
-        .join(gsz, on=["conv_id", "gc"])
-        .withColumn(
-            "phi4", 2.0 * F.col("i") / (F.col("size_p") + F.col("size_g"))
+    try:
+        inter = (
+            p.join(g, on=mkey)
+            .groupBy("conv_id", "pc", "gc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
         )
-    )
+        psz = p.groupBy("conv_id", "pc").agg(F.count(F.lit(1)).cast("bigint").alias("size_p"))
+        gsz = g.groupBy("conv_id", "gc").agg(F.count(F.lit(1)).cast("bigint").alias("size_g"))
+        iw = (
+            inter.join(psz, on=["conv_id", "pc"])
+            .join(gsz, on=["conv_id", "gc"])
+            .withColumn(
+                "phi4", 2.0 * F.col("i") / (F.col("size_p") + F.col("size_g"))
+            )
+        )
 
-    def best_matching(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
-        # build intersection-graph components over (pc, gc) edges
-        parent: dict = {}
+        def best_matching(pdf: pd.DataFrame) -> pd.DataFrame:
+            conv = pdf["conv_id"].iloc[0]
+            # build intersection-graph components over (pc, gc) edges
+            parent: dict = {}
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
 
-        def union(a, b):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
+            def union(a, b):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
 
-        edges = list(zip(pdf["pc"], pdf["gc"], pdf["phi4"]))
-        for pc, gc, _ in edges:
-            union(("p", pc), ("g", gc))
-        comps: dict = {}
-        for pc, gc, phi in edges:
-            comps.setdefault(find(("p", pc)), []).append((pc, gc, phi))
-        total = 0.0
-        for comp_edges in comps.values():
-            gcs = sorted({gc for _, gc, _ in comp_edges})
-            pcs = sorted({pc for pc, _, _ in comp_edges})
-            n_small, n_big = sorted((len(gcs), len(pcs)))
-            # bound the DP, not just one side: work = big × 2^small × small,
-            # so a 22×1000 component would otherwise "pass" the guard and
-            # hang the task instead of raising cleanly
-            if n_small > MAX_SMALL or n_big * (1 << n_small) * n_small > MAX_WORK:
-                raise ValueError(
-                    f"CEAF component too wide ({len(pcs)}x{len(gcs)}) in {conv}"
-                )
-            # DP over the smaller side as the bitmask
-            if len(gcs) <= len(pcs):
-                small, big, w = gcs, pcs, {(pc, gc): phi for pc, gc, phi in comp_edges}
-                weight = lambda b, s: w.get((b, s), 0.0)  # noqa: E731
-            else:
-                small, big, w = pcs, gcs, {(pc, gc): phi for pc, gc, phi in comp_edges}
-                weight = lambda b, s: w.get((s, b), 0.0)  # noqa: E731
-            sidx = {c: k for k, c in enumerate(small)}
-            full = 1 << len(small)
-            best = [0.0] * full
-            for b in big:
-                nxt = best[:]
-                for mask in range(full):
-                    base = best[mask]
-                    for s in small:
-                        bit = 1 << sidx[s]
-                        if mask & bit:
+            edges = list(zip(pdf["pc"], pdf["gc"], pdf["phi4"]))
+            for pc, gc, _ in edges:
+                union(("p", pc), ("g", gc))
+            comps: dict = {}
+            for pc, gc, phi in edges:
+                comps.setdefault(find(("p", pc)), []).append((pc, gc, phi))
+            total = 0.0
+            n_wide = 0
+            for comp_edges in comps.values():
+                gcs = sorted({gc for _, gc, _ in comp_edges})
+                pcs = sorted({pc for pc, _, _ in comp_edges})
+                n_small, n_big = sorted((len(gcs), len(pcs)))
+                # bound the DP, not just one side: work = big × 2^small × small,
+                # so a 22×1000 component would otherwise "pass" the guard and
+                # hang the task
+                if n_small > MAX_SMALL or n_big * (1 << n_small) * n_small > MAX_WORK:
+                    # greedy matching lower bound: heaviest edges first,
+                    # each cluster used at most once; flag the component
+                    n_wide += 1
+                    used_p: set = set()
+                    used_g: set = set()
+                    for pc, gc, phi in sorted(
+                        comp_edges, key=lambda e: (-e[2], e[0], e[1])
+                    ):
+                        if pc in used_p or gc in used_g:
                             continue
-                        v = base + weight(b, s)
-                        if v > nxt[mask | bit]:
-                            nxt[mask | bit] = v
-                    if base > nxt[mask]:
-                        nxt[mask] = base
-                best = nxt
-            total += max(best)
-        return pd.DataFrame({"conv_id": [conv], "sum_phi4": [total]})
+                        used_p.add(pc)
+                        used_g.add(gc)
+                        total += phi
+                    continue
+                # DP over the smaller side as the bitmask
+                if len(gcs) <= len(pcs):
+                    small, big, w = gcs, pcs, {(pc, gc): phi for pc, gc, phi in comp_edges}
+                    weight = lambda b, s: w.get((b, s), 0.0)  # noqa: E731
+                else:
+                    small, big, w = pcs, gcs, {(pc, gc): phi for pc, gc, phi in comp_edges}
+                    weight = lambda b, s: w.get((s, b), 0.0)  # noqa: E731
+                sidx = {c: k for k, c in enumerate(small)}
+                full = 1 << len(small)
+                best = [0.0] * full
+                for b in big:
+                    nxt = best[:]
+                    for mask in range(full):
+                        base = best[mask]
+                        for s in small:
+                            bit = 1 << sidx[s]
+                            if mask & bit:
+                                continue
+                            v = base + weight(b, s)
+                            if v > nxt[mask | bit]:
+                                nxt[mask | bit] = v
+                        if base > nxt[mask]:
+                            nxt[mask] = base
+                    best = nxt
+                total += max(best)
+            return pd.DataFrame(
+                {"conv_id": [conv], "sum_phi4": [total], "wide": [n_wide]}
+            )
 
-    per_conv = iw.groupBy("conv_id").applyInPandas(
-        best_matching, "conv_id string, sum_phi4 double"
-    )
-    tot = (
-        per_conv.agg(F.coalesce(F.sum("sum_phi4"), F.lit(0.0)).alias("sum_phi4"))
-        .crossJoin(psz.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred_cl")))
-        .crossJoin(gsz.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold_cl")))
-    )
+        per_conv = iw.groupBy("conv_id").applyInPandas(
+            best_matching, "conv_id string, sum_phi4 double, wide bigint"
+        )
+        tot = (
+            per_conv.agg(
+                F.coalesce(F.sum("sum_phi4"), F.lit(0.0)).alias("sum_phi4"),
+                F.coalesce(F.sum("wide"), F.lit(0)).cast("bigint").alias("wide_components"),
+            )
+            .crossJoin(psz.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred_cl")))
+            .crossJoin(gsz.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold_cl")))
+        )
 
-    def _safe(num, den):
-        return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
+        def _safe(num, den):
+            return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
 
-    prec = _safe(F.col("sum_phi4"), F.col("n_pred_cl"))
-    rec = _safe(F.col("sum_phi4"), F.col("n_gold_cl"))
-    return tot.select(
-        F.lit("ceaf_phi4").alias("metric"),
-        prec.alias("precision"),
-        rec.alias("recall"),
-        F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4))
-        .otherwise(F.lit(0.0))
-        .alias("f1"),
-    )
+        prec = _safe(F.col("sum_phi4"), F.col("n_pred_cl"))
+        rec = _safe(F.col("sum_phi4"), F.col("n_gold_cl"))
+        return _eager(
+            tot.select(
+                F.lit("ceaf_phi4").alias("metric"),
+                prec.alias("precision"),
+                rec.alias("recall"),
+                F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4))
+                .otherwise(F.lit(0.0))
+                .alias("f1"),
+                F.col("wide_components"),
+            )
+        )
+    finally:
+        p.unpersist()
+        g.unpersist()
 
 
 def conll_average(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """The reference's published coref number: the unweighted mean of MUC,
-    B³ and CEAFφ4 F1 (dygie/models/coref.py:15-16 'conll_coref_f1')."""
+    B³ and CEAFφ4 F1 (dygie/models/coref.py:15-16 'conll_coref_f1').
+    `wide_components` > 0 marks the CEAF term as a greedy lower bound
+    (see ceaf_phi4_metrics)."""
     parts = conll_coref_metrics(pred, gold).where(F.col("metric").isin("muc", "b3"))
-    both = parts.unionByName(ceaf_phi4_metrics(pred, gold))
+    ceaf = ceaf_phi4_metrics(pred, gold)
+    both = parts.withColumn(
+        "wide_components", F.lit(0).cast("bigint")
+    ).unionByName(ceaf)
     return both.agg(
         F.round(F.avg("f1"), 4).alias("conll_coref_f1"),
         F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.sum("wide_components").cast("bigint").alias("wide_components"),
+    )
+
+
+def conll_average_no_ceaf(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """The SQL-expressible part of the CoNLL average: the unweighted mean
+    of MUC and B³ F1 only (CEAFφ4 needs optimal assignment, which no SQL
+    oracle can replicate — it stays pytest-pinned in ceaf_phi4_metrics).
+
+    Hash-exactness across engines: the two F1 terms are already 4-decimal
+    doubles; each is requantized to an integer number of 1e-4 units and the
+    mean is computed as one IEEE division of exact integers — both engines
+    divide the SAME integers, so the resulting double is bit-identical (no
+    round() tie-breaking in play)."""
+    rows = {
+        r["metric"]: r["f1"]
+        for r in conll_coref_metrics(pred, gold).collect()
+    }
+    muc_q = round(rows["muc"] * 10_000)
+    b3_q = round(rows["b3"] * 10_000)
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [((muc_q + b3_q) / 20_000.0, float(rows["muc"]), float(rows["b3"]))],
+        "conll_avg_no_ceaf double, muc_f1 double, b3_f1 double",
     )

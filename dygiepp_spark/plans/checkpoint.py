@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Callable
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -50,7 +51,10 @@ def partition_fingerprints(keyed_turns: DataFrame) -> DataFrame:
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = os.path.join(out_dir, LINEAGE_DIR)
-    if not os.path.isdir(path):  # first run: no lineage yet (local FS /
+    # strip a file:// scheme for the local existence probe (os.path.isdir
+    # on a URI is always False → resume would silently recompute everything)
+    local = urlparse(path).path if path.startswith("file://") else path
+    if not os.path.isdir(local):  # first run: no lineage yet (local FS /
         return None  # driver-visible DFS mount; Iceberg catalogs instead)
     try:
         return spark.read.parquet(path)
@@ -127,14 +131,23 @@ def run_with_checkpoint(
             "parquet-on-FS checkpoint purge is local-FS only; use the "
             "Iceberg backend (overwritePartitions) for remote storage"
         )
+    # os.path.exists("file:///...") is always False — strip the URI scheme
+    # for the local purge, or the stale-partition fix silently no-ops for
+    # file:// out_dirs (the exact bug the purge exists to prevent)
+    local_data_path = (
+        urlparse(data_path).path if data_path.startswith("file://") else data_path
+    )
     for k in todo:
-        part_dir = os.path.join(data_path, f"{PART_COL}={k}")
+        part_dir = os.path.join(local_data_path, f"{PART_COL}={k}")
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)  # raises on failure — never skip silently
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         out_keyed.repartition(PART_COL)
         .write.mode("overwrite")
+        # per-write option, NOT session conf: mutating the shared session's
+        # partitionOverwriteMode would change overwrite semantics for
+        # unrelated writes in the same session
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(PART_COL)
         .parquet(data_path)
     )

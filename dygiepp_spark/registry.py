@@ -18,6 +18,7 @@ from dygiepp_spark.config import PipelineConfig
 from dygiepp_spark.functions import scoring
 from dygiepp_spark.operators import assembly, canonicalize, coref, extract, metrics, pruning, spans
 from dygiepp_spark.oracle_sql import q, raw_score
+from dygiepp_spark.plans import cache as _cache
 from dygiepp_spark.tables import read_turns
 
 CFG = PipelineConfig()
@@ -809,9 +810,16 @@ def coref_pair_metrics(spark, sf_dir):
         )
 
     pred_cl, gold_cl = _pred_gold_clusters(spark, sf_dir)
-    return metrics.micro_prf(
-        pairs(pred_cl), pairs(gold_cl), ["conv_id", "pa", "pb"], task="coref_pairs"
-    )
+    try:
+        return metrics._eager(
+            metrics.micro_prf(
+                pairs(pred_cl), pairs(gold_cl), ["conv_id", "pa", "pb"], task="coref_pairs"
+            )
+        )
+    finally:
+        pred_cl.unpersist()
+        gold_cl.unpersist()
+        _cache.release_tracked()
 
 
 def _pred_gold_clusters(spark, sf_dir):
@@ -820,7 +828,9 @@ def _pred_gold_clusters(spark, sf_dir):
     t = _turns(spark, sf_dir)
     # persist the cluster tables: the CoNLL metric families each read them
     # several times, and the clustering pipeline (extraction + CC) is the
-    # expensive part of the lineage
+    # expensive part of the lineage. Every caller unpersists after its
+    # (eager) metric materializes — repeated metric calls in a long-lived
+    # session must not accumulate cache blocks.
     pred = coref.clusters_via_components(t, max_gap=40).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -833,22 +843,53 @@ def coref_conll_metrics(spark, sf_dir):
     aggregations (reference scorer coref.py:15-16, 461-469): pred =
     clustering with antecedent gap ≤ 40, gold = unrestricted clustering."""
     pred, gold = _pred_gold_clusters(spark, sf_dir)
-    return metrics.conll_coref_metrics(pred, gold)
+    try:
+        return metrics.conll_coref_metrics(pred, gold)
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
 
 
 def coref_ceaf_metrics(spark, sf_dir):
     """F6 — CEAFφ4 via per-conversation optimal cluster matching
     (applyInPandas; rows-only — optimal assignment is not SQL-expressible).
-    Pinned against a brute-force permutation scorer in pytest."""
+    Pinned against a brute-force permutation scorer in pytest. A
+    `wide_components` column counts components scored by the greedy lower
+    bound instead of the exact DP (skip-and-flag, never abort)."""
     pred, gold = _pred_gold_clusters(spark, sf_dir)
-    return metrics.ceaf_phi4_metrics(pred, gold)
+    try:
+        return metrics.ceaf_phi4_metrics(pred, gold)
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
 
 
 def coref_conll_avg(spark, sf_dir):
     """F6 — the reference's published number: mean of MUC/B³/CEAFφ4 F1
     ('conll_coref_f1', coref.py:15-16). Rows-only (includes CEAF)."""
     pred, gold = _pred_gold_clusters(spark, sf_dir)
-    return metrics.conll_average(pred, gold)
+    try:
+        return metrics.conll_average(pred, gold)
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
+
+
+def conll_avg_no_ceaf(spark, sf_dir):
+    """F6 — the SQL-expressible part of the CoNLL average: mean of MUC and
+    B³ F1 (CEAFφ4 stays pytest-pinned; its optimal assignment has no SQL
+    oracle). Driver-gated so the published-number components have hash
+    evidence."""
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    try:
+        return metrics.conll_average_no_ceaf(pred, gold)
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
 
 
 # ------------------------------------------------- corpus-level operators
@@ -1017,6 +1058,84 @@ SELECT 'transcripts' AS dataset, '{task}' AS task, n_pred, n_gold, n_matched,
        round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
              / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
 FROM c"""
+
+
+# shared CTE chain for the CoNLL coref family: pred/gold clusterings →
+# intersection table → the scalar aggregates every metric derives from
+# (integer fixed-point B³ so partial-agg summation order can't matter)
+_CONLL_CTES = """WITH seg AS (
+  SELECT conv_id, surface, doc_pos,
+         SUM(CASE WHEN prev IS NULL OR doc_pos - prev > 40 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS segment
+  FROM (
+    SELECT conv_id, surface, doc_pos,
+           lag(doc_pos) OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS prev
+    FROM cmentions
+  )
+),
+pm AS (
+  SELECT conv_id, surface || '#' || CAST(segment AS VARCHAR) AS pc, doc_pos
+  FROM seg
+  QUALIFY COUNT(*) OVER (PARTITION BY conv_id, surface, segment) >= 2
+),
+gm AS (
+  SELECT conv_id, surface AS gc, doc_pos FROM cmentions
+  QUALIFY COUNT(*) OVER (PARTITION BY conv_id, surface) >= 2
+),
+i AS (
+  SELECT p.conv_id, p.pc, g.gc, COUNT(*) AS i
+  FROM pm p JOIN gm g ON p.conv_id = g.conv_id AND p.doc_pos = g.doc_pos
+  GROUP BY 1, 2, 3
+),
+psz AS (SELECT conv_id, pc, COUNT(*) AS size_p FROM pm GROUP BY 1, 2),
+gsz AS (SELECT conv_id, gc, COUNT(*) AS size_g FROM gm GROUP BY 1, 2),
+iw AS (
+  SELECT i.*, psz.size_p, gsz.size_g
+  FROM i JOIN psz ON i.conv_id = psz.conv_id AND i.pc = psz.pc
+         JOIN gsz ON i.conv_id = gsz.conv_id AND i.gc = gsz.gc
+),
+s AS (
+  SELECT
+    COALESCE((SELECT SUM(i) FROM iw), 0) AS matched,
+    COALESCE((SELECT SUM(CAST(round(1000000.0 * i * i / size_g) AS BIGINT)) FROM iw), 0) AS b3_rec_sc,
+    COALESCE((SELECT SUM(CAST(round(1000000.0 * i * i / size_p) AS BIGINT)) FROM iw), 0) AS b3_prec_sc,
+    COALESCE((SELECT SUM(k) FROM (SELECT conv_id, gc, COUNT(DISTINCT pc) AS k FROM i GROUP BY 1, 2)), 0) AS sum_kg,
+    COALESCE((SELECT SUM(k) FROM (SELECT conv_id, pc, COUNT(DISTINCT gc) AS k FROM i GROUP BY 1, 2)), 0) AS sum_kp,
+    COALESCE((SELECT SUM(size_p) FROM psz), 0) AS n_pred_m,
+    (SELECT COUNT(*) FROM psz) AS n_pred_cl,
+    COALESCE((SELECT SUM(size_g) FROM gsz), 0) AS n_gold_m,
+    (SELECT COUNT(*) FROM gsz) AS n_gold_cl
+),
+rows_ AS (
+  SELECT 'muc' AS metric,
+         CASE WHEN n_pred_m - n_pred_cl > 0
+              THEN round((matched - sum_kp) / (n_pred_m - n_pred_cl), 4)
+              ELSE 0.0 END AS precision,
+         CASE WHEN n_gold_m - n_gold_cl > 0
+              THEN round((matched - sum_kg) / (n_gold_m - n_gold_cl), 4)
+              ELSE 0.0 END AS recall
+  FROM s
+  UNION ALL
+  SELECT 'b3',
+         CASE WHEN n_pred_m > 0
+              THEN round(b3_prec_sc / (1000000.0 * n_pred_m), 4) ELSE 0.0 END,
+         CASE WHEN n_gold_m > 0
+              THEN round(b3_rec_sc / (1000000.0 * n_gold_m), 4) ELSE 0.0 END
+  FROM s
+  UNION ALL
+  SELECT 'mention',
+         CASE WHEN n_pred_m > 0 THEN round(matched / n_pred_m, 4) ELSE 0.0 END,
+         CASE WHEN n_gold_m > 0 THEN round(matched / n_gold_m, 4) ELSE 0.0 END
+  FROM s
+),
+conll_f AS (
+  SELECT metric, precision, recall,
+         CASE WHEN precision + recall > 0
+              THEN round(2 * precision * recall / (precision + recall), 4)
+              ELSE 0.0
+         END AS f1
+  FROM rows_
+)"""
 
 
 _SQL.update(
@@ -1243,77 +1362,21 @@ FROM c"""
         FROM c"""
         ),
         "coref_conll_metrics": q(
-            """WITH seg AS (
-          SELECT conv_id, surface, doc_pos,
-                 SUM(CASE WHEN prev IS NULL OR doc_pos - prev > 40 THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS segment
-          FROM (
-            SELECT conv_id, surface, doc_pos,
-                   lag(doc_pos) OVER (PARTITION BY conv_id, surface ORDER BY doc_pos) AS prev
-            FROM cmentions
-          )
+            _CONLL_CTES
+            + "\nSELECT metric, precision, recall, f1 FROM conll_f"
         ),
-        pm AS (
-          SELECT conv_id, surface || '#' || CAST(segment AS VARCHAR) AS pc, doc_pos
-          FROM seg
-          QUALIFY COUNT(*) OVER (PARTITION BY conv_id, surface, segment) >= 2
-        ),
-        gm AS (
-          SELECT conv_id, surface AS gc, doc_pos FROM cmentions
-          QUALIFY COUNT(*) OVER (PARTITION BY conv_id, surface) >= 2
-        ),
-        i AS (
-          SELECT p.conv_id, p.pc, g.gc, COUNT(*) AS i
-          FROM pm p JOIN gm g ON p.conv_id = g.conv_id AND p.doc_pos = g.doc_pos
-          GROUP BY 1, 2, 3
-        ),
-        psz AS (SELECT conv_id, pc, COUNT(*) AS size_p FROM pm GROUP BY 1, 2),
-        gsz AS (SELECT conv_id, gc, COUNT(*) AS size_g FROM gm GROUP BY 1, 2),
-        iw AS (
-          SELECT i.*, psz.size_p, gsz.size_g
-          FROM i JOIN psz ON i.conv_id = psz.conv_id AND i.pc = psz.pc
-                 JOIN gsz ON i.conv_id = gsz.conv_id AND i.gc = gsz.gc
-        ),
-        s AS (
-          SELECT
-            COALESCE((SELECT SUM(i) FROM iw), 0) AS matched,
-            COALESCE((SELECT SUM(CAST(round(1000000.0 * i * i / size_g) AS BIGINT)) FROM iw), 0) AS b3_rec_sc,
-            COALESCE((SELECT SUM(CAST(round(1000000.0 * i * i / size_p) AS BIGINT)) FROM iw), 0) AS b3_prec_sc,
-            COALESCE((SELECT SUM(k) FROM (SELECT conv_id, gc, COUNT(DISTINCT pc) AS k FROM i GROUP BY 1, 2)), 0) AS sum_kg,
-            COALESCE((SELECT SUM(k) FROM (SELECT conv_id, pc, COUNT(DISTINCT gc) AS k FROM i GROUP BY 1, 2)), 0) AS sum_kp,
-            COALESCE((SELECT SUM(size_p) FROM psz), 0) AS n_pred_m,
-            (SELECT COUNT(*) FROM psz) AS n_pred_cl,
-            COALESCE((SELECT SUM(size_g) FROM gsz), 0) AS n_gold_m,
-            (SELECT COUNT(*) FROM gsz) AS n_gold_cl
-        ),
-        rows_ AS (
-          SELECT 'muc' AS metric,
-                 CASE WHEN n_pred_m - n_pred_cl > 0
-                      THEN round((matched - sum_kp) / (n_pred_m - n_pred_cl), 4)
-                      ELSE 0.0 END AS precision,
-                 CASE WHEN n_gold_m - n_gold_cl > 0
-                      THEN round((matched - sum_kg) / (n_gold_m - n_gold_cl), 4)
-                      ELSE 0.0 END AS recall
-          FROM s
-          UNION ALL
-          SELECT 'b3',
-                 CASE WHEN n_pred_m > 0
-                      THEN round(b3_prec_sc / (1000000.0 * n_pred_m), 4) ELSE 0.0 END,
-                 CASE WHEN n_gold_m > 0
-                      THEN round(b3_rec_sc / (1000000.0 * n_gold_m), 4) ELSE 0.0 END
-          FROM s
-          UNION ALL
-          SELECT 'mention',
-                 CASE WHEN n_pred_m > 0 THEN round(matched / n_pred_m, 4) ELSE 0.0 END,
-                 CASE WHEN n_gold_m > 0 THEN round(matched / n_gold_m, 4) ELSE 0.0 END
-          FROM s
-        )
-        SELECT metric, precision, recall,
-               CASE WHEN precision + recall > 0
-                    THEN round(2 * precision * recall / (precision + recall), 4)
-                    ELSE 0.0
-               END AS f1
-        FROM rows_"""
+        # mean of the SQL-expressible CoNLL components (MUC + B³). Hash-exact
+        # across engines: both F1 terms requantize to integer 1e-4 units and
+        # the mean is ONE IEEE division of exact integers — no round() ties.
+        "conll_avg_no_ceaf": q(
+            _CONLL_CTES
+            + """
+        SELECT (round(10000 * max(CASE WHEN metric = 'muc' THEN f1 END))
+              + round(10000 * max(CASE WHEN metric = 'b3' THEN f1 END))) / 20000.0
+                 AS conll_avg_no_ceaf,
+               max(CASE WHEN metric = 'muc' THEN f1 END) AS muc_f1,
+               max(CASE WHEN metric = 'b3' THEN f1 END) AS b3_f1
+        FROM conll_f WHERE metric IN ('muc', 'b3')"""
         ),
         "pair_features": q(
             f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
@@ -1356,6 +1419,7 @@ QUERIES: dict[str, QuerySpec] = {
     "coref_conll_metrics": QuerySpec(coref_conll_metrics, _SQL["coref_conll_metrics"]),
     "coref_ceaf_metrics": QuerySpec(coref_ceaf_metrics, None),
     "coref_conll_avg": QuerySpec(coref_conll_avg, None),
+    "conll_avg_no_ceaf": QuerySpec(conll_avg_no_ceaf, _SQL["conll_avg_no_ceaf"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
     "lsh_candidate_pairs": QuerySpec(lsh_candidate_pairs, _c.LSH_PAIRS_SQL),

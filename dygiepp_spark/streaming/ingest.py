@@ -58,11 +58,13 @@ def make_batch_writer(out_dir: str):
         if batch_df.isEmpty():
             return
         out = relation_triples(batch_df)
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            # per-write option, NOT session conf: mutating the shared
+            # session's partitionOverwriteMode would silently change
+            # overwrite semantics for unrelated writes in the same session
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_dir)
         )

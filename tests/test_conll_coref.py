@@ -166,3 +166,58 @@ def test_conll_metrics_zero_overlap_is_zero_not_null(spark):
     assert (ceaf["precision"], ceaf["recall"], ceaf["f1"]) == (0.0, 0.0, 0.0)
     avg = metrics.conll_average(pred, gold).head()
     assert avg["conll_coref_f1"] == 0.0 and avg["n_components"] == 3
+
+
+def test_ceaf_wide_component_flags_not_raises(spark):
+    """A component wider than the bitmask-DP bound must be scored with the
+    greedy lower bound and FLAGGED, never abort the job (skip-and-flag, the
+    reference's _FAILED_PREDICTION convention). Chain construction: pred
+    P_i = {2i, 2i+1}, gold G_i = {2i+1, 2i+2} — one connected component of
+    N×N clusters, every φ4 edge = 0.5, where greedy == optimal (N disjoint
+    P_i→G_i matches), so the flagged value is also checkable exactly."""
+    n = 40  # small side 40 > MAX_SMALL=18 → greedy path
+    pred = {"c": [{2 * i, 2 * i + 1} for i in range(n)]}
+    gold = {"c": [{2 * i + 1, 2 * i + 2} for i in range(n)]}
+    row = metrics.ceaf_phi4_metrics(_df(spark, pred), _df(spark, gold)).head()
+    assert row["wide_components"] == 1
+    # greedy == optimal here: n matched pairs at φ4=0.5 over n clusters/side
+    assert row["precision"] == round(0.5 * n / n, 4) == 0.5
+    assert row["recall"] == 0.5
+    # normal (narrow) inputs must be exact and unflagged
+    narrow = metrics.ceaf_phi4_metrics(
+        _df(spark, CASES["paper"][0]), _df(spark, CASES["paper"][1])
+    ).head()
+    assert narrow["wide_components"] == 0
+
+
+def test_repeated_metric_calls_keep_cache_flat(spark):
+    """conll/ceaf/pair metrics persist intermediates; every call must
+    release them (eager materialize + unpersist + plans.cache tracking) so
+    a long-lived session doesn't accumulate MEMORY_AND_DISK blocks."""
+    from dygiepp_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    for _ in range(2):
+        registry.coref_conll_metrics(spark, sf).collect()
+        registry.coref_ceaf_metrics(spark, sf).collect()
+        registry.coref_pair_metrics(spark, sf).collect()
+        registry.conll_avg_no_ceaf(spark, sf).collect()
+    n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_cached == 0, f"{n_cached} persisted RDDs leaked"
+
+
+def test_near_dup_release_handle(spark):
+    """near_dup_pairs' shingle/band persists are tracked; release_tracked()
+    must drop them once the result is consumed, and the released frame must
+    still be usable (lineage recompute)."""
+    from dygiepp_spark.operators import dedup
+    from dygiepp_spark.plans import cache
+    from dygiepp_spark.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = dedup.near_dup_pairs(docs)
+    n1 = out.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    assert cache.release_tracked() >= 2  # shingles + bands
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert out.count() == n1  # recompute after release is identical

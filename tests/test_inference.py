@@ -85,3 +85,26 @@ def test_microbatch_row_cap():
     batches = pack_by_budget(lengths, max_tokens=1000, max_rows=4)
     assert max(len(b) for b in batches) <= 4
     assert sorted(i for b in batches for i in b) == list(range(10))
+
+
+def test_model_singleton_keyed_on_config(spark):
+    """Two jobs sharing one Python worker with DIFFERENT configs must each
+    get a model built from THEIR config — the r2 singleton froze the first
+    caller's config in for the life of the worker."""
+    from dygiepp_spark.config import PipelineConfig
+    from dygiepp_spark.inference.model import get_model
+
+    a = get_model(PipelineConfig(max_pair_distance=5))
+    b = get_model(PipelineConfig(max_pair_distance=2))
+    assert a.cfg.max_pair_distance == 5
+    assert b.cfg.max_pair_distance == 2
+    assert a is not b
+    # same config → same instance (still a per-worker singleton per config)
+    assert get_model(PipelineConfig(max_pair_distance=5)) is a
+    assert get_model() is get_model(PipelineConfig())
+
+    # end-to-end: the narrow config must emit strictly fewer far relations
+    toks = "alice sent bob and later carol sent dave a report".split()
+    wide = a.forward([toks])[0]
+    narrow = b.forward([toks])[0]
+    assert len(narrow.triples) <= len(wide.triples)
