@@ -127,6 +127,44 @@ def coref_clusters(spark, sf_dir):
     return _longs(out.select("conv_id", "cluster_id", "turn_idx", "start", "end", "surface"))
 
 
+def pred_clusters_roundtrip(spark, sf_dir):
+    """E8 — the prediction merge's predicted_clusters, round-tripped: E4
+    clusters → predictions_to_doc_json → parse the JSON back → located
+    member rows re-keyed by min member doc position (the engine's cluster
+    id convention). Identity ⇒ matches the plain clusters oracle.
+    Covers the reference's predicted_clusters output path
+    (dygie/models/dygie.py:289-317) with a driver hash gate."""
+    from pyspark.sql import Window
+
+    from dygiepp_spark.sources import jsonl
+
+    turns = _turns(spark, sf_dir)
+    cl = coref.clusters_via_components(turns)
+    js = jsonl.predictions_to_doc_json(turns, clusters=cl)
+    docs = js.select(F.from_json("json", jsonl.DOC_JSON_SCHEMA).alias("d")).select("d.*")
+    back = jsonl.predicted_clusters_from_docs(docs)
+    offs = jsonl._sentence_offsets(docs).select(
+        F.col("doc_key").alias("conv_id"),
+        F.col("sent_ix").alias("turn_idx"),
+        "sentence_start",
+    )
+    w = Window.partitionBy("conv_id", "cluster_id")
+    out = (
+        back.join(offs, on=["conv_id", "turn_idx"])
+        .withColumn(
+            "min_pos", F.min(F.col("sentence_start") + F.col("start")).over(w)
+        )
+        .select(
+            "conv_id",
+            F.col("min_pos").cast("bigint").alias("cluster_id"),
+            "turn_idx",
+            "start",
+            "end",
+        )
+    )
+    return _longs(out)
+
+
 def canonical_triples(spark, sf_dir):
     """Entity linking + canonical triple materialization (north star)."""
     t = extract.relation_triples(_turns(spark, sf_dir), CFG)
@@ -369,6 +407,13 @@ _SQL: dict[str, str] = {
     "coref_clusters": q(
         f"""SELECT conv_id, cluster_id, CAST(turn_idx AS {_B}) AS turn_idx,
                CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end", surface
+        FROM clusters"""
+    ),
+    # the prediction-merge round trip is an identity over the cluster member
+    # rows (cluster_id = min member doc position, the engine convention)
+    "pred_clusters_roundtrip": q(
+        f"""SELECT conv_id, cluster_id, CAST(turn_idx AS {_B}) AS turn_idx,
+               CAST(start AS {_B}) AS start, CAST("end" AS {_B}) AS "end"
         FROM clusters"""
     ),
     "canonical_triples": q(
@@ -1448,6 +1493,9 @@ QUERIES: dict[str, QuerySpec] = {
     "relation_triples": QuerySpec(relation_triples, _SQL["relation_triples"]),
     "triple_dedup": QuerySpec(triple_dedup, _SQL["triple_dedup"]),
     "coref_clusters": QuerySpec(coref_clusters, _SQL["coref_clusters"]),
+    "pred_clusters_roundtrip": QuerySpec(
+        pred_clusters_roundtrip, _SQL["pred_clusters_roundtrip"]
+    ),
     "canonical_triples": QuerySpec(canonical_triples, _SQL["canonical_triples"]),
     "event_triggers": QuerySpec(event_triggers, _SQL["event_triggers"]),
     "event_arguments": QuerySpec(event_arguments, _SQL["event_arguments"]),

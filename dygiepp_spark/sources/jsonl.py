@@ -50,6 +50,13 @@ DOC_JSON_SCHEMA = T.StructType(
             True,
         ),
         T.StructField("weight", T.DoubleType(), True),
+        T.StructField(
+            # prediction-side coref clusters, same shape as `clusters`
+            # (dygie/models/dygie.py:289-317)
+            "predicted_clusters",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.LongType()))),
+            True,
+        ),
     ]
 )
 
@@ -304,30 +311,9 @@ def annotations_to_doc_json(
         ).alias("_t")
     )
     if clusters is not None:
-        # (conv_id, cluster_id, turn_idx, start, end) turn-relative →
-        # doc-level nested lists ordered by cluster_id then span
-        cl = clusters.join(offs, on=["conv_id", "turn_idx"]).select(
-            "conv_id",
-            "cluster_id",
-            F.struct(
-                (F.col("start") + F.col("sentence_start")).cast("long").alias("s"),
-                (F.col("end") + F.col("sentence_start")).cast("long").alias("e"),
-            ).alias("m"),
+        packed = packed.join(
+            _nested_clusters(clusters, offs, "gclusters"), on="conv_id", how="left"
         )
-        nested = (
-            cl.groupBy("conv_id", "cluster_id")
-            .agg(F.sort_array(F.collect_list("m")).alias("ms"))
-            .groupBy("conv_id")
-            .agg(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("cluster_id"), F.col("ms")))
-                    ),
-                    lambda x: F.transform(x["ms"], lambda m: F.array(m["s"], m["e"])),
-                ).alias("gclusters")
-            )
-        )
-        packed = packed.join(nested, on="conv_id", how="left")
 
     head_fields = [
         F.col("conv_id").alias("doc_key"),
@@ -347,6 +333,34 @@ def annotations_to_doc_json(
         pieces.append(F.lit("]"))
     pieces.append(F.lit("}"))
     return packed.select(F.concat(*pieces).alias("json"), F.col("conv_id"))
+
+
+def _nested_clusters(clusters: DataFrame, offs: DataFrame, out_col: str) -> DataFrame:
+    """(conv_id, cluster_id, turn_idx, start, end) turn-relative member rows
+    → one row per conv with doc-level nested cluster lists ordered by
+    cluster_id then span (the reference's clusters / predicted_clusters
+    shape, doc/data.md:52-62; dygie/models/dygie.py:289-317)."""
+    cl = clusters.join(offs, on=["conv_id", "turn_idx"]).select(
+        "conv_id",
+        "cluster_id",
+        F.struct(
+            (F.col("start") + F.col("sentence_start")).cast("long").alias("s"),
+            (F.col("end") + F.col("sentence_start")).cast("long").alias("e"),
+        ).alias("m"),
+    )
+    return (
+        cl.groupBy("conv_id", "cluster_id")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("cluster_id"), F.col("ms")))
+                ),
+                lambda x: F.transform(x["ms"], lambda m: F.array(m["s"], m["e"])),
+            ).alias(out_col)
+        )
+    )
 
 
 def _sentence_offsets(docs: DataFrame) -> DataFrame:
@@ -414,6 +428,13 @@ def gold_event_clusters_from_docs(docs: DataFrame) -> DataFrame:
     """Event coreference clusters — same shape as `clusters` but spans are
     trigger spans (doc/data.md:79-91; document.py event_clusters path)."""
     return _located_cluster_members(docs, "event_clusters")
+
+
+def predicted_clusters_from_docs(docs: DataFrame) -> DataFrame:
+    """Prediction-side coref clusters (written by predictions_to_doc_json;
+    reference merge dygie/models/dygie.py:289-317) → located turn-relative
+    member rows, same contract as gold_clusters_from_docs."""
+    return _located_cluster_members(docs, "predicted_clusters")
 
 
 def gold_events_from_docs(docs: DataFrame) -> DataFrame:
@@ -524,6 +545,7 @@ def predictions_to_doc_json(
     arguments: DataFrame | None = None,
     dataset: str = "transcripts",
     docs_meta: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """E8 — merge predictions back onto per-document JSON in the reference's
     EXACT prediction format (doc/data.md:108-116; merge
@@ -534,11 +556,17 @@ def predictions_to_doc_json(
     - ``predicted_relations``: [s1, e1, s2, e2, "label", logit, softmax]
     - ``predicted_events``:    [[trig_tok, "TYPE", logit, softmax],
                                 [a_start, a_end, "role", logit, softmax], ...]
+    - ``predicted_clusters``:  doc-level [[start, end], ...] per cluster
+                               (dygie.py:289-317; eval-form converter
+                               coref.py:702-726), same nesting as gold
+                               ``clusters``.
 
     ``triggers``/``arguments`` are the E5/E6 operator outputs; every trigger
-    emits an event even with zero arguments. ``docs_meta`` (doc_key, weight,
-    _meta) carries the reference's `_`-prefixed user metadata and per-doc
-    loss weight through untouched (document.py:155, 160-173).
+    emits an event even with zero arguments. ``clusters`` takes the E4
+    operator output (conv_id, cluster_id, turn_idx, start, end).
+    ``docs_meta`` (doc_key, weight, _meta) carries the reference's
+    `_`-prefixed user metadata and per-doc loss weight through untouched
+    (document.py:155, 160-173).
 
     Mixed-type JSON arrays can't be a single Spark array type, so entries
     are assembled as JSON text — still all JVM-side column expressions."""
@@ -702,13 +730,24 @@ def predictions_to_doc_json(
             on="conv_id",
             how="left",
         )
-    head = F.to_json(
-        F.struct(
-            F.col("conv_id").alias("doc_key"),
-            F.lit(dataset).alias("dataset"),
-            F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
+    if clusters is not None:
+        packed = packed.join(
+            _nested_clusters(clusters, offs, "pclusters"), on="conv_id", how="left"
         )
-    )
+    head_fields = [
+        F.col("conv_id").alias("doc_key"),
+        F.lit(dataset).alias("dataset"),
+        F.expr("transform(_t, x -> x.tokens)").alias("sentences"),
+    ]
+    if clusters is not None:
+        # a doc with no predicted clusters still carries the key (empty
+        # list), matching the reference's always-present predicted_clusters
+        # when the coref head runs (dygie.py:311-317)
+        head_fields.append(
+            F.coalesce(F.col("pclusters"), F.array().cast("array<array<array<long>>>"))
+            .alias("predicted_clusters")
+        )
+    head = F.to_json(F.struct(*head_fields))
     pieces = [F.substring(head, 1, F.length(head) - F.lit(1))]
     for field, col in parts:
         pieces.append(F.lit(f',"{field}":['))

@@ -108,3 +108,40 @@ def test_collate_span_budget_property(spark):
     back = uncollate(col)
     assert back.count() == turns.count()
     assert back.where("NOT is_dense").count() == 0
+
+
+def test_predicted_clusters_roundtrip(spark, tmp_path):
+    """E8 — predicted_clusters written by the prediction merge must parse
+    back (via the gold-side located-members reader) to the exact cluster
+    memberships the E4 operator produced (reference merge
+    dygie/models/dygie.py:289-317 writes doc-level [[s,e],...] clusters)."""
+    from dygiepp_spark.operators import coref
+    from dygiepp_spark.sources.jsonl import (
+        predicted_clusters_from_docs,
+        read_jsonl_docs,
+    )
+
+    turns = synth_turns(spark, n_convs=8, seed=7)
+    clusters = coref.clusters_via_components(turns)
+    assert clusters.count() > 0
+    out = predictions_to_doc_json(turns, clusters=clusters)
+    p = tmp_path / "preds.jsonl"
+    p.write_text("\n".join(r["json"] for r in out.collect()) + "\n")
+    back = predicted_clusters_from_docs(read_jsonl_docs(spark, str(p)))
+
+    def membership(df):
+        by: dict = {}
+        for r in df.collect():
+            by.setdefault((r["conv_id"], r["cluster_id"]), set()).add(
+                (r["turn_idx"], r["start"], r["end"])
+            )
+        return {(conv, frozenset(v)) for (conv, _), v in by.items()}
+
+    assert membership(back) == membership(
+        clusters.select("conv_id", "cluster_id", "turn_idx", "start", "end")
+    )
+    # a doc with zero clusters still emits the key as [] (reference shape)
+    import json as _json
+
+    for r in out.collect():
+        assert "predicted_clusters" in _json.loads(r["json"])

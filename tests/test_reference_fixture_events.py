@@ -181,3 +181,27 @@ def test_metadata_splice_never_emits_invalid_json(spark, tmp_path):
     assert back["_g"] == -1.5e-3
     assert back["_h"] == "line\nbreak"
     assert "\n" not in line  # one-doc-per-line contract holds
+
+
+def test_predicted_clusters_write_read_inverse_on_reference_data(docs, spark, tmp_path):
+    """Feed the fixture's own 77 gold clusters through the PREDICTION
+    writer (as if the coref head had emitted them) and parse back: same
+    memberships. Covers the reference's predicted_clusters output path
+    (dygie/models/dygie.py:289-317; converter coref.py:702-726)."""
+    gold = jsonl.gold_clusters_from_docs(docs)
+    turns = jsonl.docs_to_turns(docs)
+    out = jsonl.predictions_to_doc_json(turns, clusters=gold)
+    p = tmp_path / "pred_clusters.jsonl"
+    p.write_text("\n".join(r["json"] for r in out.collect()) + "\n")
+    back = jsonl.predicted_clusters_from_docs(jsonl.read_jsonl_docs(spark, str(p)))
+
+    def membership(df):
+        by = {}
+        for r in df.collect():
+            by.setdefault((r["conv_id"], r["cluster_id"]), set()).add(
+                (r["turn_idx"], r["start"], r["end"])
+            )
+        return {(conv, frozenset(v)) for (conv, _), v in by.items()}
+
+    assert membership(back) == membership(gold)
+    assert back.count() == gold.count()
