@@ -58,4 +58,12 @@ class PipelineConfig:
     # document.py:10-11)
     score_decimals: int = 4
 
+    # which scorer backs the forward() contract on the executors:
+    # "standin" = the deterministic lexicon model (always available);
+    # "torch"   = the tensor-backed scorer in inference/encoder.py
+    #             (requires torch; the sandbox skips it). The field rides
+    #             the (frozen, picklable) config into every UDF closure, so
+    #             swapping backends changes NOTHING else in the pipeline.
+    model_backend: str = "standin"
+
     datasets: tuple[str, ...] = field(default=("transcripts",))

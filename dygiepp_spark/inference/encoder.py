@@ -1,0 +1,107 @@
+"""Tensor-backed scorer: the executable "real encoder" seam (D1).
+
+`TorchSpanScorer` implements the EXACT `StandInModel.forward()` contract
+(one call per micro-batch of tokenized turns → per-turn `TurnPredictions`)
+with the score path running through torch tensors: hashed-vocab embeddings,
+batched with padding + masking, span representations from endpoint states +
+a width embedding (the reference's span rep, dygie/models/shared.py /
+template.libsonnet feedforward heads), and small linear scoring heads.
+
+Candidate generation and decode thresholds reuse the stand-in's
+deterministic lexicon gating — in-sandbox there are no trained weights, so
+the *candidates* must stay deterministic for the oracle gates; what this
+class demonstrates is that the batch plumbing (pad/mask shapes, one
+forward per Arrow micro-batch, per-worker singleton) accepts a tensor
+model without any change to the rest of the pipeline: set
+``PipelineConfig(model_backend="torch")`` and nothing else moves.
+
+Requires torch; importing this module without it raises ImportError (the
+UDF surfaces that per the failed-batch convention). The sandbox has no
+torch — tests/test_encoder_seam.py runs under skipif and documents how to
+enable it."""
+
+from __future__ import annotations
+
+from dygiepp_spark.config import PipelineConfig
+from dygiepp_spark.inference.model import StandInModel, TurnPredictions
+
+EMBED_DIM = 32
+VOCAB_BUCKETS = 4096
+
+
+class TorchSpanScorer:
+    """Drop-in replacement for StandInModel with torch-tensor scoring."""
+
+    def __init__(self, cfg: PipelineConfig | None = None) -> None:
+        import torch
+
+        self.cfg = cfg or PipelineConfig()
+        # candidate generation delegate: same decode semantics, swapped scores
+        self._standin = StandInModel(self.cfg)
+        torch.manual_seed(0)  # deterministic "weights" in lieu of a checkpoint
+        self._torch = torch
+        self._emb = torch.nn.Embedding(VOCAB_BUCKETS, EMBED_DIM)
+        self._width_emb = torch.nn.Embedding(self.cfg.max_span_width + 1, EMBED_DIM)
+        # span rep = [start_state; end_state; width_emb] → scalar score
+        self._span_head = torch.nn.Linear(3 * EMBED_DIM, 1)
+        self._pair_head = torch.nn.Linear(2 * EMBED_DIM, 1)
+        for m in (self._emb, self._width_emb, self._span_head, self._pair_head):
+            m.requires_grad_(False)
+
+    @staticmethod
+    def _bucket(tok: str) -> int:
+        # stable hash (Python's str hash is salted per process)
+        h = 2166136261
+        for ch in tok.encode():
+            h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+        return h % VOCAB_BUCKETS
+
+    def forward(self, token_batch: list[list[str]]) -> list[TurnPredictions]:
+        """One padded+masked tensor forward for the whole micro-batch, then
+        per-turn decode with tensor scores replacing the lexicon tables."""
+        torch = self._torch
+        if not token_batch:
+            return []
+        max_len = max(1, max(len(t) for t in token_batch))
+        ids = torch.zeros((len(token_batch), max_len), dtype=torch.long)
+        mask = torch.zeros((len(token_batch), max_len), dtype=torch.bool)
+        for i, toks in enumerate(token_batch):
+            for j, tok in enumerate(toks):
+                ids[i, j] = self._bucket(tok)
+                mask[i, j] = True
+        states = self._emb(ids) * mask.unsqueeze(-1)  # [B, L, D]
+
+        out: list[TurnPredictions] = []
+        for i, toks in enumerate(token_batch):
+            base = self._standin._forward_one(toks)
+            scored = TurnPredictions()
+            for s, e, label, surface, _raw, _soft in base.mentions:
+                rep = torch.cat(
+                    [states[i, s], states[i, e], self._width_emb.weight[e - s + 1]]
+                )
+                raw = float(self._span_head(rep))
+                scored.mentions.append(
+                    (s, e, label, surface, round(raw, 4), round(_sigmoid(raw), 4))
+                )
+            for s1, t1, s2, t2, pred, _raw, _soft in base.triples:
+                rep = torch.cat([states[i, s1], states[i, s2]])
+                raw = float(self._pair_head(rep))
+                scored.triples.append(
+                    (s1, t1, s2, t2, pred, round(raw, 4), round(_sigmoid(raw), 4))
+                )
+            for p, etype, _raw, _soft in base.triggers:
+                raw = float(
+                    self._span_head(
+                        torch.cat([states[i, p], states[i, p], self._width_emb.weight[1]])
+                    )
+                )
+                scored.triggers.append((p, etype, round(raw, 4), round(_sigmoid(raw), 4)))
+            scored.arguments = base.arguments  # role decode carries no score
+            out.append(scored)
+        return out
+
+
+def _sigmoid(x: float) -> float:
+    import math
+
+    return 1.0 / (1.0 + math.exp(-x))

@@ -147,9 +147,21 @@ def get_model(cfg: PipelineConfig | None = None) -> StandInModel:
     Keyed on the (frozen, hashable) PipelineConfig: two jobs sharing one
     Python worker with different configs (e.g. different
     ``max_pair_distance``) each get their own model — a single global would
-    silently serve the first caller's config to the second job."""
+    silently serve the first caller's config to the second job.
+
+    ``cfg.model_backend`` picks the scorer ("standin" | "torch"); both
+    implement the same forward() contract, so the rest of the pipeline is
+    backend-blind."""
     key = cfg or PipelineConfig()
     model = _MODELS.get(key)
     if model is None:
-        model = _MODELS[key] = StandInModel(key)
+        if key.model_backend == "torch":
+            from dygiepp_spark.inference.encoder import TorchSpanScorer
+
+            model = TorchSpanScorer(key)
+        elif key.model_backend == "standin":
+            model = StandInModel(key)
+        else:
+            raise ValueError(f"unknown model_backend: {key.model_backend!r}")
+        _MODELS[key] = model
     return model

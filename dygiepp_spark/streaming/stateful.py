@@ -11,8 +11,16 @@ unbounded cluster state never lives in the stream.
 
 Assumes per-conversation in-order arrival (turn_idx monotone across
 micro-batches), which the file/Kafka source provides when producers write
-turns in order; late turns are the watermark's problem, mirroring the
-session-window assembly in streaming.ingest.
+turns in order. When a producer violates that, the behavior is defined and
+pinned (tests/test_stateful_streaming.py late-arrival test): a late turn is
+NEVER dropped and never fails the query — its tokens take doc positions at
+the conversation's running offset, i.e. the output equals the batch
+operator applied to the conversation in ARRIVAL order (same edge count as
+true order; positions shifted). Within one micro-batch, turns are sorted by
+turn_idx, so only cross-batch disorder mispositions. Deployments needing
+true-order positions must bound disorder upstream (watermarked buffer/sort
+before this operator, mirroring the session-window assembly in
+streaming.ingest).
 """
 
 from __future__ import annotations

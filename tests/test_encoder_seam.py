@@ -1,0 +1,45 @@
+"""The real-encoder seam (D1), executable: swapping the stand-in for the
+tensor-backed scorer changes NOTHING but the scores. Skipped in this
+sandbox (no torch); on a machine with torch installed the suite exercises
+the seam for real:
+
+    pip install torch  # any recent CPU build
+    python -m pytest tests/test_encoder_seam.py -q
+"""
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from dygiepp_spark.config import PipelineConfig  # noqa: E402
+from dygiepp_spark.inference.model import get_model  # noqa: E402
+
+
+def test_forward_contract_matches_standin():
+    """Same candidates (spans, labels, pairs, triggers, args); scores come
+    from the tensor heads instead of the lexicon tables."""
+    cfg_t = PipelineConfig(model_backend="torch")
+    cfg_s = PipelineConfig()
+    toks = "alice sent bob a report and bob filed the big table".split()
+    t_out = get_model(cfg_t).forward([toks])[0]
+    s_out = get_model(cfg_s).forward([toks])[0]
+    assert [m[:4] for m in t_out.mentions] == [m[:4] for m in s_out.mentions]
+    assert [t[:5] for t in t_out.triples] == [t[:5] for t in s_out.triples]
+    assert [t[:2] for t in t_out.triggers] == [t[:2] for t in s_out.triggers]
+    assert t_out.arguments == s_out.arguments
+    for m in t_out.mentions:
+        assert isinstance(m[4], float) and isinstance(m[5], float)
+        assert 0.0 <= m[5] <= 1.0  # sigmoid-calibrated
+
+
+def test_pipeline_is_backend_blind(spark):
+    """The full Arrow-UDF extraction runs unchanged with the torch backend:
+    identical row counts and schema, only score values differ."""
+    from dygiepp_spark.inference import udf as iudf
+    from dygiepp_spark.synth import synth_turns
+
+    turns = synth_turns(spark, n_convs=4, seed=3)
+    a = iudf.infer(turns, cfg=PipelineConfig())
+    b = iudf.infer(turns, cfg=PipelineConfig(model_backend="torch"))
+    assert a.schema == b.schema
+    assert a.count() == b.count()

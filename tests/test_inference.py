@@ -108,3 +108,13 @@ def test_model_singleton_keyed_on_config(spark):
     wide = a.forward([toks])[0]
     narrow = b.forward([toks])[0]
     assert len(narrow.triples) <= len(wide.triples)
+
+
+def test_unknown_model_backend_raises():
+    import pytest as _pytest
+
+    from dygiepp_spark.config import PipelineConfig
+    from dygiepp_spark.inference.model import get_model
+
+    with _pytest.raises(ValueError, match="model_backend"):
+        get_model(PipelineConfig(model_backend="nope"))

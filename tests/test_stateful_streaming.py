@@ -95,3 +95,62 @@ def test_batch_writer_retry_is_idempotent(spark, tmp_path):
     total = spark.read.parquet(out)
     assert total.where("batch_id = 0").count() == n1
     assert total.where("batch_id = 1").count() > 0
+
+
+def test_late_turn_arrival_mispositions_not_drops(spark):
+    """Documented late-arrival behavior (stateful.py module docstring): a
+    turn arriving AFTER later turns of its conversation is neither dropped
+    nor fatal — its tokens take doc positions at the conversation's running
+    offset, i.e. exactly as if the conversation had happened in ARRIVAL
+    order. Asserted precisely: incremental edges on out-of-order input ==
+    the batch operator on the arrival-order re-indexed conversation.
+    Producers needing true-order positions must bound disorder upstream
+    (watermarked buffer/sort before this operator)."""
+    from pyspark.sql import Window
+
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=6, seed=5)
+        # batch 1 carries the LATER turns; batch 2 the earlier ones (late)
+        _write_flat(turns.where("turn_idx >= 3"), f"{d}/in", "a")
+        time.sleep(1.1)
+        _write_flat(turns.where("turn_idx < 3"), f"{d}/in", "b")
+
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q = (
+            stateful.incremental_coref_edges(stream)
+            .writeStream.format("memory")
+            .queryName("late_edges")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["conv_id"], r["doc_pos"], r["ant_doc_pos"])
+            for r in spark.sql("select * from late_edges").collect()
+        }
+
+        # batch twin on the arrival-order re-indexed conversation
+        w = Window.partitionBy("conv_id").orderBy("arr", "turn_idx")
+        reordered = (
+            turns.withColumn(
+                "arr", F.when(F.col("turn_idx") < 3, 1).otherwise(0)
+            )
+            .withColumn("new_idx", F.row_number().over(w) - 1)
+            .drop("turn_idx", "arr")
+            .withColumnRenamed("new_idx", "turn_idx")
+        )
+        want = {
+            (r["conv_id"], r["doc_pos"], r["ant_doc_pos"])
+            for r in coref.antecedent_edges(coref.coref_mentions(reordered)).collect()
+        }
+        assert got == want and len(want) > 0
+        # and nothing was dropped relative to in-order processing: same
+        # NUMBER of edges as the true-order batch result (positions shift,
+        # same-surface adjacency pairs do not)
+        n_true = coref.antecedent_edges(coref.coref_mentions(turns)).count()
+        assert len(got) == n_true
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
