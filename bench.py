@@ -58,6 +58,8 @@ def main() -> None:
     # warm-up: JIT/codegen + parquet footer caching, not measured
     QUERIES["span_enum_counts"].build(spark, sf_dir).count()
 
+    from dygiepp_spark.plans import cache as _cache
+
     per_query: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name in names:
@@ -65,6 +67,7 @@ def main() -> None:
         df = QUERIES[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        _cache.release_tracked()  # operator-internal persists don't outlive their query
     total = time.perf_counter() - t_total0
 
     # second headline: end-to-end extraction throughput on a larger
@@ -106,6 +109,42 @@ def main() -> None:
         }
         big_turns.unpersist()
 
+    # third anchor: the near-dup persist trade at a scale where corpus
+    # scans dominate (the sf0.1 headline runs 5k docs, where job setup
+    # hides the scan cost). Measures the SAME operator with and without
+    # the shingle/band persist — the 8-scans→1-scan change must show its
+    # win here, not just in the physical plan. Disable with
+    # SPARK_GRAFT_BENCH_NEARDUP=0.
+    nd_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NEARDUP", "100000"))
+    neardup = None
+    if nd_docs > 0:
+        from dygiepp_spark.operators import dedup
+        from dygiepp_spark.plans import cache
+        from dygiepp_spark.synth import synth_docs
+
+        docs = synth_docs(spark, n_docs=nd_docs).repartition(int(cpus) * 2).persist()
+        docs.count()
+
+        def _run(persist: bool) -> float:
+            t0 = time.perf_counter()
+            dedup.near_dup_pairs(docs, persist_shingles=persist).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            cache.release_tracked()
+            return sec
+
+        _run(True)  # warm-up, not measured
+        sec_persist = _run(True)
+        sec_no_persist = _run(False)
+        neardup = {
+            "n_docs": nd_docs,
+            "sec_persist": round(sec_persist, 3),
+            "sec_no_persist": round(sec_no_persist, 3),
+            "persist_speedup": round(sec_no_persist / sec_persist, 2),
+        }
+        docs.unpersist()
+
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 3),
@@ -118,6 +157,8 @@ def main() -> None:
     }
     if big is not None:
         out["big_corpus_extraction"] = big
+    if neardup is not None:
+        out["near_dup_big"] = neardup
     print(json.dumps(out))
     spark.stop()
 

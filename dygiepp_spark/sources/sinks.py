@@ -63,3 +63,21 @@ def write_mentions(
         .partitionBy(BUCKET_COL)
         .parquet(path)
     )
+
+
+def write_predictions_jsonl(
+    json_docs: DataFrame, path: str, n_files: int = 16, mode: str = "overwrite"
+) -> None:
+    """A3 — the reference's prediction artifact (one JSON doc per line,
+    doc/data.md:108-116; `allennlp predict` output), produced by
+    predictions_to_doc_json. Range-partitioned by doc key and sorted
+    within partitions so the file contents are deterministic run-to-run;
+    `n_files` bounds file count at corpus scale (10^3-10^4 for 10^12
+    turns, like the parquet sinks)."""
+    (
+        json_docs.repartitionByRange(n_files, "conv_id")
+        .sortWithinPartitions("conv_id")
+        .select("json")
+        .write.mode(mode)
+        .text(path)
+    )

@@ -63,3 +63,43 @@ def synth_turns(
             + F.make_interval(secs=(F.col("c") * 1000 + F.col("t")).cast("double"))
         ).alias("ts"),
     )
+
+
+def synth_docs(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    seed: int = 42,
+    dup_every: int = 10,
+    tokens_per_doc: int = 40,
+) -> DataFrame:
+    """Deterministic documents table (doc_id bigint, text string) with
+    CONTROLLED near-duplicate structure: every ``dup_every``-th doc copies
+    the previous doc's token stream and perturbs its last token, so
+    MinHash-LSH near-dup recall is non-trivial at any size. Generated
+    distributively (spark.range + column exprs), like synth_turns — the
+    same generator serves unit tests and the multi-hundred-thousand-doc
+    near-dup bench anchor."""
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_dup = F.col("doc_id") % dup_every == 1
+    src = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    vocab_arr = F.array(*[F.lit(v) for v in VOCAB])
+    n_tok = (
+        F.lit(tokens_per_doc // 2)
+        + F.pmod(src * 2654435761 + seed, F.lit(tokens_per_doc))
+    ).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), n_tok - 1),
+        lambda i: F.element_at(
+            vocab_arr,
+            (F.pmod(src * 31 + i * 7 + seed, F.lit(len(VOCAB))) + 1).cast("int"),
+        ),
+    )
+    # perturb the dup's tail so pairs are NEAR (Jaccard < 1), not exact
+    text = F.when(
+        is_dup,
+        F.concat(
+            F.array_join(F.slice(tokens, 1, F.greatest(n_tok - 1, F.lit(1))), " "),
+            F.lit(" perturbed"),
+        ),
+    ).otherwise(F.array_join(tokens, " "))
+    return docs.select("doc_id", text.alias("text"))

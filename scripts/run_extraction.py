@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     p.add_argument("--n-partitions", type=int, default=64)
     p.add_argument("--run-id", default="run")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--jsonl",
+        action="store_true",
+        help="also write the reference-format prediction JSONL "
+        "(predicted_ner/relations/events/clusters) to <out>/data/predictions_jsonl",
+    )
     args = p.parse_args(argv)
 
     from dygiepp_spark.session import get_spark
@@ -61,6 +67,27 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         triples, result.clusters, canonicalize.alias_dict(spark)
     )
     sinks.write_canonical_triples(canonical, f"{args.out}/data/canonical")
+
+    if args.jsonl:
+        from dygiepp_spark.config import PipelineConfig
+        from dygiepp_spark.operators import extract
+        from dygiepp_spark.sources.jsonl import predictions_to_doc_json
+
+        cfg = PipelineConfig()
+        json_docs = predictions_to_doc_json(
+            turns,
+            mentions=result.mentions,
+            triples=result.triples,
+            triggers=extract.event_triggers(turns),
+            arguments=extract.event_arguments(turns, cfg),
+            clusters=result.clusters,
+        )
+        sinks.write_predictions_jsonl(
+            json_docs, f"{args.out}/data/predictions_jsonl"
+        )
+        summary["n_jsonl_docs"] = (
+            spark.read.text(f"{args.out}/data/predictions_jsonl").count()
+        )
 
     summary["n_canonical"] = spark.read.parquet(f"{args.out}/data/canonical").count()
     print(json.dumps(summary))

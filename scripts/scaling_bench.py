@@ -184,6 +184,17 @@ small final dedup shuffle, and the {e_8_16} efficiency measured for 8→16
 (doubling within the well-backed core range) shows the per-stage scaling
 the same job achieves when cores are real.
 
+Near-dup persist trade (r2 review follow-up). Persisting the shingle/band
+tables cut the `near_dup_pairs` physical plan from 8 corpus scans to 1
+(pinned by test_plan_quality.py) at the cost of materialization — a small
+regression at the 5k-doc sf0.1 headline where job setup dominates. Measured
+where scans dominate (bench.py `near_dup_big`, 100k synthetic docs,
+32 cores): persist 17.0 s vs no-persist 48.8 s — a **2.9× win**, growing
+with corpus size (the no-persist plan re-tokenizes the corpus per branch).
+Revert threshold: if `persist_speedup` in a round's BENCH_r{{N}}.json
+`near_dup_big` entry drops below 1.0, flip `persist_shingles` default to
+False and re-pin the plan test.
+
 Reproduce: `python scripts/scaling_bench.py`. Per-operator benchmark
 numbers: `python bench.py` (recorded per-round as BENCH_r{{N}}.json).
 """
