@@ -154,3 +154,90 @@ def test_late_turn_arrival_mispositions_not_drops(spark):
         assert len(got) == n_true
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reorder_turns_restores_true_order(spark):
+    """The stateful reorderer releases turns in contiguous turn_idx order
+    regardless of arrival order: feeding the LATER turns first, the full
+    reordered output equals the true-order conversation, and nothing is
+    emitted out of order within any micro-batch."""
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=6, seed=5)
+        _write_flat(turns.where("turn_idx >= 3"), f"{d}/in", "a")
+        time.sleep(1.1)
+        _write_flat(turns.where("turn_idx < 3"), f"{d}/in", "b")
+
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q = (
+            stateful.reorder_turns(stream)
+            .writeStream.format("memory")
+            .queryName("reordered")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in spark.sql("select * from reordered").collect()
+        }
+        want = {
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in turns.select("conv_id", "turn_idx", "text").collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reorder_buffers_gaps_and_flushes_on_timeout():
+    """Unit-level: a gap holds later turns in state (bounded by disorder,
+    not conversation length); the idle-timeout flush drains the buffer in
+    order and removes state."""
+    import pandas as pd
+
+    from dygiepp_spark.streaming.stateful import _reorder_group
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.hasTimedOut = False
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    # batch 1: turns 0 and 2 arrive (1 missing) → only 0 releases
+    st = FakeState()
+    pdf = pd.DataFrame({"turn_idx": [2, 0], "text": ["t2", "t0"]})
+    out = pd.concat(list(_reorder_group(("c",), iter([pdf]), st)))
+    assert list(out["turn_idx"]) == [0]
+    next_idx, buffered = st.get
+    assert next_idx == 1 and "2" in buffered  # only the gap turn is held
+
+    # batch 2: turn 1 arrives → 1 and the buffered 2 release in order
+    pdf2 = pd.DataFrame({"turn_idx": [1], "text": ["t1"]})
+    out2 = pd.concat(list(_reorder_group(("c",), iter([pdf2]), st)))
+    assert list(out2["turn_idx"]) == [1, 2]
+
+    # timeout with a still-missing gap: drain buffer in order, drop state
+    st3 = FakeState((5, '{"7": "t7", "6": "t6"}'))
+    st3.hasTimedOut = True
+    out3 = pd.concat(list(_reorder_group(("c",), iter([]), st3)))
+    assert list(out3["turn_idx"]) == [6, 7] and st3.removed
