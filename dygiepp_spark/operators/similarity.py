@@ -305,3 +305,60 @@ def cosine_topk_pandas(
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup-by-embedding
+    counterpart of the MinHash text path: candidates share a sign-LSH
+    bucket (equi-join, cross-join-bomb cap like the text LSH), verified at
+    cosine ≥ num/den with EXACT integer arithmetic over the quantized
+    vectors:
+
+        cos(a,b) ≥ t  ⟺  dot > 0  ∧  den²·dot² ≥ num²·|a|²·|b|²
+
+    Every operand is int64 (dim·scale² bounded), so the DuckDB oracle
+    hash-matches bit-for-bit — no float comparison anywhere. Output
+    (vec_a, vec_b, dot, norm2_a, norm2_b) keeps the integer evidence.
+
+    Scale shape: one corpus scan → bucket equi-join (no all-pairs), cap
+    guard drops oversized buckets (recall loss observable via
+    lsh_bucket-style stats if needed); verification arithmetic is
+    whole-stage-codegen column algebra on candidates only."""
+    base = quantize(emb, "embedding").select(
+        F.col(id_col).cast("bigint").alias("vec_id"), "q"
+    )
+    base = base.withColumn("n2", _dot(F.col("q"), F.col("q")))
+    b = lsh_buckets(emb, dim, id_col)
+    sized = b.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).where(F.col("bucket_size") <= max_bucket)
+    withq = sized.join(base, on="vec_id")
+    a = withq.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("n2").alias("norm2_a"), "bucket",
+    )
+    c = withq.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("n2").alias("norm2_b"), "bucket",
+    )
+    cand = a.join(c, on="bucket").where(F.col("vec_a") < F.col("vec_b"))
+    scored = cand.select(
+        "vec_a", "vec_b", "norm2_a", "norm2_b",
+        _dot(F.col("qa"), F.col("qb")).alias("dot"),
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return scored.where(
+        (F.col("dot") > 0)
+        & (
+            F.lit(den2) * F.col("dot") * F.col("dot")
+            >= F.lit(num2) * F.col("norm2_a") * F.col("norm2_b")
+        )
+    ).select("vec_a", "vec_b", "dot", "norm2_a", "norm2_b")

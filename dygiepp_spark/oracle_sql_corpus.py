@@ -261,3 +261,30 @@ NEAR_DUP_SQL = (
     f"WITH {SHINGLES_CTE.strip()}\n"
     "SELECT doc_a, doc_b, n_inter, n_union FROM jacc WHERE n_inter * 4 >= n_union * 1"
 )
+
+# embedding-cosine near-dup: all-integer verification (den²·dot² ≥ num²·n2a·n2b)
+# over sign-LSH bucket candidates, cap-guarded like the text LSH
+EMBED_NEAR_DUP_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv,
+         CAST(list_dot_product({_QUANT}, {_QUANT}) AS BIGINT) AS n2
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id, qv, n2,
+         CAST({' + '.join(f'(CASE WHEN {_hyperplane_sql(j)} > 0 THEN {1 << j} ELSE 0 END)' for j in range(N_HYPERPLANES))} AS BIGINT) AS bucket
+  FROM q
+),
+capped AS (
+  SELECT * FROM qb
+  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 256
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+         a.n2 AS norm2_a, b.n2 AS norm2_b
+  FROM capped a JOIN capped b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, dot, norm2_a, norm2_b
+FROM cand
+WHERE dot > 0 AND 100 * dot * dot >= 9 * norm2_a * norm2_b"""

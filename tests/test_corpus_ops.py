@@ -200,3 +200,37 @@ def test_quantized_cosine_agrees_with_float_path(spark, emb):
         for r in similarity.dot_topk(emb, k=3, n_queries=16).collect()
     }
     assert qk != dk
+
+
+def test_embedding_near_dup_pairs_exact_on_candidates(spark, emb):
+    """Embedding-cosine near-dup: (a) every emitted pair truly clears the
+    integer cosine threshold (den²·dot² ≥ num²·n2a·n2b, dot>0) against an
+    independent numpy check; (b) the output equals the brute-force
+    threshold pairs RESTRICTED to shared sign-LSH buckets (the documented
+    recall trade — LSH candidates only, never all-pairs)."""
+    import numpy as np
+
+    out = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(emb).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    q = {
+        r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * 1000)
+        for r in rows
+    }
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.lsh_buckets(emb).collect()
+    }
+    want = set()
+    ids = sorted(q)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if buckets[a] != buckets[b]:
+                continue
+            dot = float(q[a] @ q[b])
+            n2a, n2b = float(q[a] @ q[a]), float(q[b] @ q[b])
+            if dot > 0 and 100 * dot * dot >= 9 * n2a * n2b:
+                want.add((a, b))
+    assert out == want and len(want) > 0
