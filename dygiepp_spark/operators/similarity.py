@@ -123,17 +123,25 @@ def hyperplane(j: int, dim: int):
     return [((j * 131 + d * 31) % 7) - 3 for d in range(dim)]
 
 
-def lsh_buckets(emb: DataFrame, dim: int = 64, id_col: str = "vec_id") -> DataFrame:
-    """Sign-LSH bucket per vector: bit j = [dot(q, hyperplane_j) > 0]."""
-    q = quantize(emb, "embedding")
+def _bucket_expr(dim: int):
+    """Sign-LSH bucket as ONE column expression over the quantized vector
+    column `q` — bit j = [dot(q, hyperplane_j) > 0]. Pure projection: no
+    join, no extra scan."""
     bucket = F.lit(0).cast("bigint")
     for j in range(N_HYPERPLANES):
         h = F.array(*[F.lit(v) for v in hyperplane(j, dim)])
         bucket = bucket + F.when(_dot(F.col("q"), h) > 0, F.lit(1 << j)).otherwise(0)
-    return emb.select(F.col(id_col).cast("bigint").alias("vec_id")).join(
-        q.select(F.col(id_col).cast("bigint").alias("vec_id"), bucket.alias("bucket")),
-        on="vec_id",
-    ).select("vec_id", "bucket")
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, dim: int = 64, id_col: str = "vec_id") -> DataFrame:
+    """Sign-LSH bucket per vector — a single projection over one corpus
+    scan (the r3 rewrite removed a pointless self-join that multiplied
+    scans through every downstream embedding operator)."""
+    return quantize(emb, "embedding").select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        _bucket_expr(dim).alias("bucket"),
+    )
 
 
 def ann_topk_bucketed(
@@ -141,10 +149,9 @@ def ann_topk_bucketed(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the same LSH bucket.
     The scale path — the candidate join is an equi-join on bucket."""
-    b = lsh_buckets(emb, dim, id_col)
     q = quantize(emb, "embedding").select(
         F.col(id_col).cast("bigint").alias("vec_id"), "q"
-    ).join(b, on="vec_id")
+    ).withColumn("bucket", _bucket_expr(dim))
     a = q.select(F.col("vec_id").alias("qid"), F.col("q").alias("qv"), "bucket")
     c = q.select(F.col("vec_id").alias("nid"), F.col("q").alias("nv"), "bucket")
     scored = (
@@ -327,19 +334,28 @@ def embedding_near_dup_pairs(
     hash-matches bit-for-bit — no float comparison anywhere. Output
     (vec_a, vec_b, dot, norm2_a, norm2_b) keeps the integer evidence.
 
-    Scale shape: one corpus scan → bucket equi-join (no all-pairs), cap
-    guard drops oversized buckets (recall loss observable via
-    lsh_bucket-style stats if needed); verification arithmetic is
-    whole-stage-codegen column algebra on candidates only."""
-    base = quantize(emb, "embedding").select(
-        F.col(id_col).cast("bigint").alias("vec_id"), "q"
+    Scale shape: ONE corpus scan — (id, q, |q|², bucket) is a single
+    projection, persisted (tracked, spill-safe) because it feeds both
+    sides of the bucket self-join; the cap guard drops oversized buckets
+    (recall loss observable via lsh_bucket-style stats if needed);
+    verification arithmetic is whole-stage-codegen column algebra on
+    candidates only. Release the cache with plans.cache.release_tracked()
+    after consuming the result."""
+    from pyspark import StorageLevel
+
+    from dygiepp_spark.plans import cache
+
+    withq = (
+        quantize(emb, "embedding")
+        .select(F.col(id_col).cast("bigint").alias("vec_id"), "q")
+        .withColumn("n2", _dot(F.col("q"), F.col("q")))
+        .withColumn("bucket", _bucket_expr(dim))
+        .withColumn(
+            "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        )
+        .where(F.col("bucket_size") <= max_bucket)
     )
-    base = base.withColumn("n2", _dot(F.col("q"), F.col("q")))
-    b = lsh_buckets(emb, dim, id_col)
-    sized = b.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).where(F.col("bucket_size") <= max_bucket)
-    withq = sized.join(base, on="vec_id")
+    withq = cache.track(withq.persist(StorageLevel.MEMORY_AND_DISK))
     a = withq.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
         F.col("n2").alias("norm2_a"), "bucket",

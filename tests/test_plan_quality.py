@@ -99,3 +99,22 @@ def test_near_dup_single_corpus_scan(spark):
     )
     assert scans == 1, f"{scans} parquet scans\n"
     assert "InMemoryTableScan" in plan
+
+
+def test_embedding_near_dup_single_corpus_scan(spark):
+    """(id, q, |q|², bucket) is one projection persisted for both sides of
+    the bucket self-join: exactly ONE parquet scan (the r3 lsh_buckets
+    rewrite removed a self-join that multiplied scans to 12)."""
+    plan = _plan(spark, "embedding_near_dup")
+    scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    assert scans == 1, f"{scans} parquet scans"
+    assert "InMemoryTableScan" in plan
+
+
+def test_lsh_buckets_is_joinless_projection(spark):
+    """Sign-LSH bucketing must be a pure projection — no join anywhere."""
+    plan = _plan(spark, "embedding_lsh_buckets")
+    assert "Join" not in plan
