@@ -24,77 +24,97 @@ def micro_prf(
     task: str = "ner",
 ) -> DataFrame:
     """One metrics row: counts + P/R/F1 (rounded to 4 decimals, matching the
-    reference's score rounding convention, document.py:10-11)."""
-    p = pred.select(*keys).distinct()
-    g = gold.select(*keys).distinct()
-    m = p.join(g, on=keys, how="inner")
-    counts = (
-        p.agg(F.count(F.lit(1)).alias("n_pred"))
-        .crossJoin(g.agg(F.count(F.lit(1)).alias("n_gold")))
-        .crossJoin(m.agg(F.count(F.lit(1)).alias("n_matched")))
-    )
-    prec = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
-    rec = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
-    return counts.select(
-        F.lit(dataset).alias("dataset"),
-        F.lit(task).alias("task"),
-        F.col("n_pred").cast("bigint"),
-        F.col("n_gold").cast("bigint"),
-        F.col("n_matched").cast("bigint"),
-        F.round(prec, 4).alias("precision"),
-        F.round(rec, 4).alias("recall"),
-        F.round(
-            F.when(
-                (prec + rec) > 0, 2 * prec * rec / (prec + rec)
-            ).otherwise(0.0),
-            4,
-        ).alias("f1"),
-    )
+    reference's score rounding convention, document.py:10-11).
+
+    The distinct key sets each feed their own count AND the match join —
+    without a persist Catalyst recomputes the upstream extraction pipeline
+    once per branch (measured: 8 corpus scans for trigger_metrics). The
+    sets persist for the single eager evaluation of the one-row result and
+    release before return."""
+    from pyspark import StorageLevel
+
+    p = pred.select(*keys).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    g = gold.select(*keys).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        m = p.join(g, on=keys, how="inner")
+        counts = (
+            p.agg(F.count(F.lit(1)).alias("n_pred"))
+            .crossJoin(g.agg(F.count(F.lit(1)).alias("n_gold")))
+            .crossJoin(m.agg(F.count(F.lit(1)).alias("n_matched")))
+        )
+        prec = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
+        rec = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
+        return _eager(
+            counts.select(
+                F.lit(dataset).alias("dataset"),
+                F.lit(task).alias("task"),
+                F.col("n_pred").cast("bigint"),
+                F.col("n_gold").cast("bigint"),
+                F.col("n_matched").cast("bigint"),
+                F.round(prec, 4).alias("precision"),
+                F.round(rec, 4).alias("recall"),
+                F.round(
+                    F.when(
+                        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+                    ).otherwise(0.0),
+                    4,
+                ).alias("f1"),
+            )
+        )
+    finally:
+        p.unpersist()
+        g.unpersist()
 
 
 def per_namespace_metrics(pred: DataFrame, gold: DataFrame, keys: list[str]) -> DataFrame:
     """F7 — metric fan-out per (dataset, task) namespace plus a MEAN__ row
     (reference: dygie/models/dygie.py:336-366). Inputs must carry
     `dataset` and `task` columns."""
+    from pyspark import StorageLevel
+
     join_keys = ["dataset", "task", *keys]
-    p = pred.select(*join_keys).distinct()
-    g = gold.select(*join_keys).distinct()
-    m = p.join(g, on=join_keys, how="inner")
+    p = pred.select(*join_keys).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    g = gold.select(*join_keys).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        m = p.join(g, on=join_keys, how="inner")
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("dataset", "task").agg(F.count(F.lit(1)).alias(name))
+        def counts(df: DataFrame, name: str) -> DataFrame:
+            return df.groupBy("dataset", "task").agg(F.count(F.lit(1)).alias(name))
 
-    joined = (
-        counts(p, "n_pred")
-        .join(counts(g, "n_gold"), on=["dataset", "task"], how="full")
-        .join(counts(m, "n_matched"), on=["dataset", "task"], how="full")
-        .na.fill(0)
-    )
-    prec = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
-    rec = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
-    per_ns = joined.select(
-        "dataset",
-        "task",
-        F.col("n_pred").cast("bigint"),
-        F.col("n_gold").cast("bigint"),
-        F.col("n_matched").cast("bigint"),
-        F.round(prec, 4).alias("precision"),
-        F.round(rec, 4).alias("recall"),
-        F.round(
-            F.when((prec + rec) > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0), 4
-        ).alias("f1"),
-    )
-    mean_row = per_ns.groupBy().agg(
-        F.lit("MEAN__").alias("dataset"),
-        F.lit("all").alias("task"),
-        F.sum("n_pred").cast("bigint").alias("n_pred"),
-        F.sum("n_gold").cast("bigint").alias("n_gold"),
-        F.sum("n_matched").cast("bigint").alias("n_matched"),
-        F.round(F.avg("precision"), 4).alias("precision"),
-        F.round(F.avg("recall"), 4).alias("recall"),
-        F.round(F.avg("f1"), 4).alias("f1"),
-    )
-    return per_ns.unionByName(mean_row)
+        joined = (
+            counts(p, "n_pred")
+            .join(counts(g, "n_gold"), on=["dataset", "task"], how="full")
+            .join(counts(m, "n_matched"), on=["dataset", "task"], how="full")
+            .na.fill(0)
+        )
+        prec = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
+        rec = F.when(F.col("n_gold") > 0, F.col("n_matched") / F.col("n_gold")).otherwise(0.0)
+        per_ns = joined.select(
+            "dataset",
+            "task",
+            F.col("n_pred").cast("bigint"),
+            F.col("n_gold").cast("bigint"),
+            F.col("n_matched").cast("bigint"),
+            F.round(prec, 4).alias("precision"),
+            F.round(rec, 4).alias("recall"),
+            F.round(
+                F.when((prec + rec) > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0), 4
+            ).alias("f1"),
+        )
+        mean_row = per_ns.groupBy().agg(
+            F.lit("MEAN__").alias("dataset"),
+            F.lit("all").alias("task"),
+            F.sum("n_pred").cast("bigint").alias("n_pred"),
+            F.sum("n_gold").cast("bigint").alias("n_gold"),
+            F.sum("n_matched").cast("bigint").alias("n_matched"),
+            F.round(F.avg("precision"), 4).alias("precision"),
+            F.round(F.avg("recall"), 4).alias("recall"),
+            F.round(F.avg("f1"), 4).alias("f1"),
+        )
+        return _eager(per_ns.unionByName(mean_row))
+    finally:
+        p.unpersist()
+        g.unpersist()
 
 
 def multi_trigger_stats(arguments: DataFrame) -> DataFrame:

@@ -189,8 +189,17 @@ def ivf_assignments(
     the inverted lists are then hash-partitioned by list_id, which is the
     IVF search property — queries touch nprobe lists, not the corpus.
     """
-    q = quantize(emb, "embedding").select(
-        F.col(id_col).cast("bigint").alias("vec_id"), "q"
+    from pyspark import StorageLevel
+
+    from dygiepp_spark.plans import cache
+
+    # q feeds every Lloyd iteration, the seed centroids, the query side and
+    # the corpus join — unpersisted, each branch re-scans the corpus
+    # (measured: 8 scans in the ivf_topk plan). Tracked for release.
+    q = cache.track(
+        quantize(emb, "embedding")
+        .select(F.col(id_col).cast("bigint").alias("vec_id"), "q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     centroids = (
         q.orderBy("vec_id").limit(n_lists)
@@ -221,6 +230,11 @@ def ivf_assignments(
                 ).alias("cv")
             )
         )
+    # the final assignment feeds both the final centroid table and the
+    # inverted-list corpus join; persist so neither replays the k-means
+    # chain (CacheManager substitutes the cached subtree in the already-
+    # derived centroids plan too)
+    assign = cache.track(assign.persist(StorageLevel.MEMORY_AND_DISK))
     return assign.select("vec_id", "list_id"), centroids
 
 

@@ -118,3 +118,16 @@ def test_lsh_buckets_is_joinless_projection(spark):
     """Sign-LSH bucketing must be a pure projection — no join anywhere."""
     plan = _plan(spark, "embedding_lsh_buckets")
     assert "Join" not in plan
+
+
+def test_ivf_single_corpus_scan(spark):
+    """The quantized corpus and the final assignment persist (tracked), so
+    the whole IVF pipeline — Lloyd iterations, seed centroids, probes,
+    inverted-list join — reads the parquet ONCE (was 8 scans)."""
+    plan = _plan(spark, "embedding_ivf_topk")
+    scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    assert scans <= 1, f"{scans} parquet scans"
+    assert "InMemoryTableScan" in plan
