@@ -183,10 +183,17 @@ def annotations_to_doc_json(
     gold_*_from_docs parsers, so write→read round-trips (pinned by the
     events_jsonl_roundtrip gated query). Mixed-type entries are assembled
     as JSON text, all JVM-side."""
-    from dygiepp_spark.operators.assembly import with_sentence_starts
+    from pyspark import StorageLevel
 
-    base = with_sentence_starts(turns).select(
-        "conv_id", "turn_idx", "text", "sentence_start"
+    from dygiepp_spark.operators.assembly import with_sentence_starts
+    from dygiepp_spark.plans import cache
+
+    # same fan-out as predictions_to_doc_json: one offset table, many
+    # annotation-family joins — persist (tracked) for one turns scan
+    base = cache.track(
+        with_sentence_starts(turns)
+        .select("conv_id", "turn_idx", "text", "sentence_start")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     offs = base.select("conv_id", "turn_idx", "sentence_start")
     df = base
@@ -570,11 +577,19 @@ def predictions_to_doc_json(
 
     Mixed-type JSON arrays can't be a single Spark array type, so entries
     are assembled as JSON text — still all JVM-side column expressions."""
+    from pyspark import StorageLevel
+
     from dygiepp_spark.functions import scoring
     from dygiepp_spark.operators.assembly import with_sentence_starts
+    from dygiepp_spark.plans import cache
 
-    base = with_sentence_starts(turns).select(
-        "conv_id", "turn_idx", "text", "sentence_start"
+    # the offset table joins against EVERY prediction family plus the final
+    # per-doc pack — unpersisted, each branch replays the turns scan + the
+    # sentence-start window (tracked; release after consuming the output)
+    base = cache.track(
+        with_sentence_starts(turns)
+        .select("conv_id", "turn_idx", "text", "sentence_start")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     offs = base.select("conv_id", "turn_idx", "sentence_start")
     df = base
