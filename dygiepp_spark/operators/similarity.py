@@ -392,3 +392,31 @@ def embedding_near_dup_pairs(
             >= F.lit(num2) * F.col("norm2_a") * F.col("norm2_b")
         )
     ).select("vec_a", "vec_b", "dot", "norm2_a", "norm2_b")
+
+
+def embedding_bucket_stats(
+    emb: DataFrame, id_col: str = "vec_id", dim: int = 64, max_bucket: int = 256
+) -> DataFrame:
+    """Observability twin of embedding_near_dup_pairs (mirrors the text
+    path's lsh_bucket_stats): one row — total sign-LSH buckets, buckets
+    over the cross-join-bomb cap, vectors discarded by the cap, and the
+    largest bucket. A clustered embedding space silently loses near-dup
+    recall when buckets overflow — surface it instead of guessing."""
+    per_bucket = (
+        quantize(emb, "embedding")
+        .select(_bucket_expr(dim).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_size"))
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_buckets"),
+        F.sum(
+            F.when(F.col("bucket_size") > max_bucket, F.col("bucket_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dropped_rows"),
+        F.max("bucket_size").cast("bigint").alias("max_bucket_size"),
+    )

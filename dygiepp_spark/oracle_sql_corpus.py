@@ -288,3 +288,17 @@ cand AS (
 SELECT vec_a, vec_b, dot, norm2_a, norm2_b
 FROM cand
 WHERE dot > 0 AND 100 * dot * dot >= 9 * norm2_a * norm2_b"""
+
+EMBED_BUCKET_STATS_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
+),
+qb AS (
+  SELECT CAST({' + '.join(f'(CASE WHEN {_hyperplane_sql(j)} > 0 THEN {1 << j} ELSE 0 END)' for j in range(N_HYPERPLANES))} AS BIGINT) AS bucket
+  FROM q
+),
+pb AS (SELECT bucket, COUNT(*) AS bucket_size FROM qb GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(COALESCE(SUM(CASE WHEN bucket_size > 256 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_buckets,
+       CAST(COALESCE(SUM(CASE WHEN bucket_size > 256 THEN bucket_size ELSE 0 END), 0) AS BIGINT) AS n_dropped_rows,
+       CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
+FROM pb"""

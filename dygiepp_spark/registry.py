@@ -993,6 +993,14 @@ def embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir))
 
 
+def embedding_bucket_stats(spark, sf_dir):
+    """Observability twin of embedding_near_dup (mirrors lsh_bucket_stats):
+    how much recall does the sign-LSH cross-join-bomb cap cost?"""
+    from dygiepp_spark.operators import similarity
+
+    return similarity.embedding_bucket_stats(_emb(spark, sf_dir))
+
+
 def lsh_bucket_stats(spark, sf_dir):
     """Observability for the LSH cross-join-bomb guard: how many buckets /
     doc-band rows the max_bucket cap drops (silent-loss detector)."""
@@ -1481,6 +1489,9 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_bucket_stats": QuerySpec(lsh_bucket_stats, _c.LSH_BUCKET_STATS_SQL),
     "hamming_near_pairs": QuerySpec(hamming_near_pairs, _c.HAMMING_PAIRS_SQL),
     "embedding_near_dup": QuerySpec(embedding_near_dup, _c.EMBED_NEAR_DUP_SQL),
+    "embedding_bucket_stats": QuerySpec(
+        embedding_bucket_stats, _c.EMBED_BUCKET_STATS_SQL
+    ),
     "simhash_values": QuerySpec(simhash_values, _c.SIMHASH_SQL),
     "embedding_dot_topk": QuerySpec(embedding_dot_topk, _c.EMBED_TOPK_SQL),
     "embedding_lsh_buckets": QuerySpec(embedding_lsh_buckets, _c.EMBED_BUCKETS_SQL),
@@ -1532,6 +1543,7 @@ QUERIES: dict[str, QuerySpec] = {
 # this round's new queries land inside the gated window. Every tail entry
 # below was hash-green in BOTH CORRECTNESS_r01 and CORRECTNESS_r02.
 _ROTATED_TAIL = [
+    "binary_metadata",
     "lsh_candidate_pairs",
     "gold_align_relations",
     "gold_align_events",

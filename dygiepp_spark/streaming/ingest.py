@@ -96,3 +96,20 @@ def start_streaming_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_turns_stream(turns_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the in-stream twin of the batch exact-dedup
+    operator, for at-least-once producers that redeliver turns. Key =
+    (conv_id, turn_idx, content hash); `dropDuplicatesWithinWatermark`
+    keeps a seen-key only until the event-time watermark passes it, so
+    dedup state is bounded by the disorder window, NOT by stream length —
+    the property that lets this run forever at corpus scale. Duplicates
+    farther apart than the watermark are downstream batch
+    canonicalization's job (same contract as the triple-level dedup)."""
+    return (
+        turns_stream.withColumn("content_hash", F.xxhash64("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "content_hash"])
+        .drop("content_hash")
+    )

@@ -117,3 +117,46 @@ def test_gold_ner_doc_level_offsets(spark):
         assert gold == {("D", 0, 1, 1): "X", ("D", 1, 1, 1): "Y"}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_turns_stream_drops_redelivered(spark):
+    """At-least-once redelivery: the same turns arriving in two micro-batches
+    must come out exactly once, equal to the batch distinct — with bounded
+    state (watermark eviction is Spark-managed; semantics pinned here)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from dygiepp_spark.streaming import ingest
+    from dygiepp_spark.synth import synth_turns
+
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=8, seed=6)
+        _write_flat(turns, f"{d}/in", "a")
+        _time.sleep(1.1)
+        _write_flat(turns.where("turn_idx < 4"), f"{d}/in", "b")  # redelivery
+
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q = (
+            ingest.dedup_turns_stream(stream)
+            .writeStream.format("memory")
+            .queryName("deduped_turns")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "select conv_id, turn_idx, text from deduped_turns"
+        ).collect()
+        keys = [(r["conv_id"], r["turn_idx"], r["text"]) for r in got]
+        assert len(keys) == len(set(keys)), "stream emitted a duplicate"
+        want = {
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in turns.select("conv_id", "turn_idx", "text").distinct().collect()
+        }
+        assert set(keys) == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
