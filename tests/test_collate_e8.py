@@ -145,3 +145,30 @@ def test_predicted_clusters_roundtrip(spark, tmp_path):
 
     for r in out.collect():
         assert "predicted_clusters" in _json.loads(r["json"])
+
+
+def test_prediction_merge_clusters_weight_meta_compose(tiny_turns, spark):
+    """predicted_clusters (head struct) + per-sentence predicted_* + weight
+    + _-metadata splices must compose into ONE valid JSON object — the
+    head/parts/meta concatenation is textual, so pin every-feature-on."""
+    from dygiepp_spark.operators import coref
+    from dygiepp_spark.sources.jsonl import predictions_to_doc_json
+
+    mentions = extract.ner_mentions(tiny_turns)
+    meta = spark.createDataFrame(
+        [("A", 0.25, {"_src": "x"})],
+        "doc_key string, weight double, _meta map<string,string>",
+    )
+    out = predictions_to_doc_json(
+        tiny_turns,
+        mentions=mentions,
+        clusters=coref.clusters_via_components(tiny_turns),
+        docs_meta=meta,
+    )
+    docs = {r["conv_id"]: json.loads(r["json"]) for r in out.collect()}
+    a = docs["A"]
+    assert isinstance(a["predicted_clusters"], list)
+    assert a["weight"] == 0.25 and a["_src"] == "x"
+    assert a["predicted_ner"], "mentions present"
+    for conv, d in docs.items():
+        assert d["doc_key"] == conv  # every line parsed cleanly
