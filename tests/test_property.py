@@ -88,3 +88,42 @@ def test_overlap_merge_produces_disjoint_spans(spark, rows):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2  # pairwise disjoint after merge
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_integer_cosine_predicate_matches_float(seed):
+    """The all-integer near-dup predicate den²·dot² ≥ num²·n2a·n2b (dot>0)
+    must agree with the float cosine comparison for arbitrary quantized
+    vectors — pure math law, no Spark needed (overflow-safety is separate:
+    operands stay within int64 for |q|≤~1000, dim≤64)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = np.floor(rng.uniform(-0.6, 0.6, size=64) * 1000)
+    b = np.floor(rng.uniform(-0.6, 0.6, size=64) * 1000)
+    dot = float(a @ b)
+    n2a, n2b = float(a @ a), float(b @ b)
+    if n2a == 0 or n2b == 0:
+        return
+    for num, den in [(3, 10), (9, 10), (1, 2)]:
+        int_pred = dot > 0 and den * den * dot * dot >= num * num * n2a * n2b
+        cos = dot / (n2a ** 0.5 * n2b ** 0.5)
+        # strict float comparison except within float error of the boundary
+        if abs(cos - num / den) > 1e-9:
+            assert int_pred == (cos >= num / den)
+
+
+def test_synth_docs_deterministic_and_planted_dups(spark):
+    """synth_docs is bitwise deterministic for a (n, seed) pair and every
+    dup_every-th doc is a near-copy of its predecessor (same prefix, one
+    perturbed tail token)."""
+    from dygiepp_spark.synth import synth_docs
+
+    a = {r["doc_id"]: r["text"] for r in synth_docs(spark, n_docs=60, seed=3).collect()}
+    b = {r["doc_id"]: r["text"] for r in synth_docs(spark, n_docs=60, seed=3).collect()}
+    assert a == b
+    for d in range(1, 60, 10):  # dup_every=10 → doc_ids 1, 11, 21, ...
+        src, dup = a[d - 1].split(" "), a[d].split(" ")
+        assert dup[-1] == "perturbed" and dup[:-1] == src[: len(dup) - 1]
+        assert a[d] != a[d - 1]
