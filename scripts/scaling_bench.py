@@ -189,8 +189,9 @@ tables cut the `near_dup_pairs` physical plan from 8 corpus scans to 1
 (pinned by test_plan_quality.py) at the cost of materialization — a small
 regression at the 5k-doc sf0.1 headline where job setup dominates. Measured
 where scans dominate (bench.py `near_dup_big`, 100k synthetic docs,
-32 cores): persist 17.0 s vs no-persist 48.8 s — a **2.9× win**, growing
-with corpus size (the no-persist plan re-tokenizes the corpus per branch).
+32 cores): persist 6.8–17 s vs no-persist 36–49 s across host-noise
+conditions — a **2.9–5.4× win** (5.4× on a quiet host), growing with
+corpus size (the no-persist plan re-tokenizes the corpus per branch).
 Revert threshold: if `persist_speedup` in a round's BENCH_r{{N}}.json
 `near_dup_big` entry drops below 1.0, flip `persist_shingles` default to
 False and re-pin the plan test.
