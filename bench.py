@@ -36,6 +36,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load_before = os.getloadavg()[0]  # before we generate any load ourselves
 
     from dygiepp_spark.session import get_spark
     from dygiepp_spark.registry import QUERIES
@@ -154,6 +155,11 @@ def main() -> None:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns * len(names) / total, 1),
         "cpus": int(cpus),
+        # host-noise context: this guest sees 3-7x whole-machine slowdowns
+        # from co-tenants (load_avg > 0 with zero guest processes). Sampled
+        # BEFORE the bench generates its own load, so a noisy round's
+        # numbers aren't misread as a regression.
+        "load_avg_1m_at_start": round(load_before, 2),
     }
     if big is not None:
         out["big_corpus_extraction"] = big

@@ -1,6 +1,7 @@
 """applyInPandasWithState incremental coref edges ≡ batch antecedent edges
 across micro-batch boundaries."""
 
+import contextlib
 import shutil
 import tempfile
 import time
@@ -14,7 +15,59 @@ from dygiepp_spark.synth import synth_turns
 from test_streaming_jsonl import _write_flat
 
 
-def test_incremental_edges_match_batch(spark):
+import pytest
+
+
+@contextlib.contextmanager
+def few_state_partitions(spark, n=4):
+    """Stateful streaming queries commit one state-store per shuffle
+    partition per micro-batch; at the suite default (32) that dominates
+    test wall time. Semantics are partition-count-independent, so the
+    streaming tests run with 4."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.fixture
+def fast_state(spark):
+    with few_state_partitions(spark):
+        yield
+
+
+def drain_available_now(q, probe, idle_s=6, timeout=150):
+    """availableNow + applyInPandasWithState never self-terminates: the
+    processing-time timeout keeps firing no-data timer batches, so the
+    query stays active forever (awaitTermination(180) burned its full
+    budget in every stateful test) and even status-based idling is defeated
+    by the timer triggers. Drain = wait until at least one batch committed,
+    the OUTPUT (probe()) has been stable for idle_s, and the source reports
+    no pending data (guards a mid-flight data batch), then stop()."""
+    deadline = time.time() + timeout
+    last_val, last_change = object(), time.time()
+    while q.isActive and time.time() < deadline:
+        try:
+            v = probe()
+        except Exception:  # noqa: BLE001 — sink not materialized yet
+            v = None
+        if v != last_val:
+            last_val, last_change = v, time.time()
+        elif (
+            time.time() - last_change >= idle_s
+            and q.lastProgress is not None
+            and not q.status["isDataAvailable"]
+        ):
+            break
+        time.sleep(0.5)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+
+
+def test_incremental_edges_match_batch(spark, fast_state):
     d = tempfile.mkdtemp()
     try:
         turns = synth_turns(spark, n_convs=12, seed=4)
@@ -33,7 +86,9 @@ def test_incremental_edges_match_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        drain_available_now(
+            q, lambda: spark.sql("select count(*) from inc_edges").head()[0]
+        )
 
         got = {
             (r["conv_id"], r["doc_pos"], r["ant_doc_pos"])
@@ -97,7 +152,7 @@ def test_batch_writer_retry_is_idempotent(spark, tmp_path):
     assert total.where("batch_id = 1").count() > 0
 
 
-def test_late_turn_arrival_mispositions_not_drops(spark):
+def test_late_turn_arrival_mispositions_not_drops(spark, fast_state):
     """Documented late-arrival behavior (stateful.py module docstring): a
     turn arriving AFTER later turns of its conversation is neither dropped
     nor fatal — its tokens take doc positions at the conversation's running
@@ -126,7 +181,9 @@ def test_late_turn_arrival_mispositions_not_drops(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        drain_available_now(
+            q, lambda: spark.sql("select count(*) from late_edges").head()[0]
+        )
         got = {
             (r["conv_id"], r["doc_pos"], r["ant_doc_pos"])
             for r in spark.sql("select * from late_edges").collect()
@@ -156,7 +213,7 @@ def test_late_turn_arrival_mispositions_not_drops(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_reorder_turns_restores_true_order(spark):
+def test_reorder_turns_restores_true_order(spark, fast_state):
     """The stateful reorderer releases turns in contiguous turn_idx order
     regardless of arrival order: feeding the LATER turns first, the full
     reordered output equals the true-order conversation, and nothing is
@@ -178,7 +235,9 @@ def test_reorder_turns_restores_true_order(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        drain_available_now(
+            q, lambda: spark.sql("select count(*) from reordered").head()[0]
+        )
         got = {
             (r["conv_id"], r["turn_idx"], r["text"])
             for r in spark.sql("select * from reordered").collect()
@@ -241,3 +300,72 @@ def test_reorder_buffers_gaps_and_flushes_on_timeout():
     st3.hasTimedOut = True
     out3 = pd.concat(list(_reorder_group(("c",), iter([]), st3)))
     assert list(out3["turn_idx"]) == [6, 7] and st3.removed
+
+
+def test_reorder_then_coref_two_query_composition(spark, fast_state):
+    """The documented fix for out-of-order producers, end to end: query 1
+    (reorder_turns) drains the disordered stream to an ordered parquet dir;
+    query 2 (incremental_coref_edges) streams over THAT — its edges must
+    equal the batch operator on the TRUE-order conversation, which the
+    disordered single-query path cannot achieve (Spark rejects chaining
+    two arbitrary-stateful operators in one query, so this two-query
+    composition is the supported deployment shape)."""
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=5, seed=5)
+        _write_flat(turns.where("turn_idx >= 3"), f"{d}/in", "a")
+        time.sleep(1.1)
+        _write_flat(turns.where("turn_idx < 3"), f"{d}/in", "b")
+
+        # query 1: restore order, write the ordered turn log
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+
+        def write_ordered(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                # one file per micro-batch: without coalesce each batch
+                # writes shuffle-partition-many part files and query 2's
+                # maxFilesPerTrigger=1 pace turns into dozens of batches
+                batch_df.coalesce(1).write.mode("append").parquet(f"{d}/ordered")
+
+        q1 = (
+            stateful.reorder_turns(stream)
+            .writeStream.foreachBatch(write_ordered)
+            .option("checkpointLocation", f"{d}/ckpt1")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(
+            q1, lambda: spark.read.parquet(f"{d}/ordered").count()
+        )
+
+        # query 2: incremental coref over the ordered log
+        ordered_stream = (
+            spark.readStream.schema("conv_id string, turn_idx int, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/ordered")
+        )
+        q2 = (
+            stateful.incremental_coref_edges(ordered_stream)
+            .writeStream.format("memory")
+            .queryName("composed_edges")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(
+            q2, lambda: spark.sql("select count(*) from composed_edges").head()[0]
+        )
+
+        got = {
+            (r["conv_id"], r["doc_pos"], r["ant_doc_pos"])
+            for r in spark.sql("select * from composed_edges").collect()
+        }
+        want = {
+            (r["conv_id"], r["doc_pos"], r["ant_doc_pos"])
+            for r in coref.antecedent_edges(coref.coref_mentions(turns)).collect()
+        }
+        assert got == want and len(want) > 0  # TRUE-order positions restored
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
