@@ -133,3 +133,42 @@ def test_run_extraction_entrypoint(spark, tmp_path):
         ["--turns", "synth:12", "--out", out, "--run-id", "t2"], stop_session=False
     )
     assert rc2 == 0
+
+
+def test_cache_scopes_isolated(spark):
+    """Scoped tracking (r3 ADVICE): an inner release_tracked() must not
+    unpersist an outer scope's still-in-use caches, and concurrent threads
+    must track independently."""
+    import threading
+
+    from dygiepp_spark.plans import cache
+
+    def tracked_persist(n):
+        # distinct row counts → distinct logical plans (identical plans
+        # share one cache entry, which would alias the scopes)
+        df = spark.range(n).persist()
+        df.count()
+        return cache.track(df)
+
+    outer = tracked_persist(10)
+    with cache.scoped():
+        inner = tracked_persist(11)
+        assert inner.storageLevel.useMemory
+        assert cache.release_tracked() == 1  # releases inner only
+        assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory  # outer scope untouched
+    # scoped() exit releases what was tracked inside and not yet released
+    with cache.scoped():
+        auto = tracked_persist(12)
+    assert not auto.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+
+    # thread isolation: a release on another thread can't see this thread's scope
+    released_elsewhere = []
+    t = threading.Thread(target=lambda: released_elsewhere.append(cache.release_tracked()))
+    t.start()
+    t.join()
+    assert released_elsewhere == [0]
+    assert outer.storageLevel.useMemory
+    assert cache.release_tracked() == 1  # root scope still holds `outer`
+    assert not outer.storageLevel.useMemory
