@@ -17,6 +17,8 @@ real use where cross-engine exactness doesn't matter.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -24,6 +26,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 QUANT_SCALE = 1000
 N_HYPERPLANES = 8
+
+
+def _n2_bound(threshold_den: int) -> int:
+    """Largest per-vector squared norm (over quantized components) for which
+    the integer cosine predicate den²·dot² ≥ num²·n2a·n2b cannot overflow
+    int64. By Cauchy–Schwarz dot² ≤ n2a·n2b, so with num ≤ den both sides
+    are ≤ den²·n2_max² once every vector satisfies n2 ≤ n2_max; solving
+    den²·n2_max² ≤ 2⁶³−1 gives the bound. With den = 10 this is ≈ 3.03e8 —
+    at dim 64 / QUANT_SCALE 1000 that admits component magnitudes up to
+    ~2.17 uniformly (more if mass is concentrated), and anything beyond
+    fails LOUDLY in both engines instead of wrapping in Spark while raising
+    in DuckDB (r3 ADVICE: the hash-exactness claim must hold by
+    construction)."""
+    return math.isqrt((2**63 - 1) // (threshold_den * threshold_den))
 
 
 def quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -288,6 +304,106 @@ def ivf_topk(
     )
 
 
+def fixed_centroid(j: int, dim: int) -> list[int]:
+    """Deterministic integer centroid j (values in [-8, 8]). The j·d cross
+    term breaks the translation symmetry that makes `hyperplane` repeat
+    with period 7 in j, and the PRIME modulus 17 guarantees distinctness
+    for j < 17 (a composite modulus collides: 15 maps j and j+15 to the
+    same vector)."""
+    return [((j * 997 + d * 131 + j * d * 31) % 17) - 8 for d in range(dim)]
+
+
+def ivf_topk_fixed(
+    emb: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 32,
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN with FIXED deterministic integer centroids — the
+    oracle-gateable member of the ANN family (r3 VERDICT #3): the iterated
+    k-means was the only part of `ivf_topk` DuckDB could not replicate, so
+    seeding centroids from `fixed_centroid` makes assignment + nprobe
+    probing pure int64 algebra, bit-identical across engines. The k-means
+    variant stays as the quality path (pytest recall vs brute force).
+
+    Scale shape is BETTER than the k-means path: list assignment is a
+    per-row argmax over the fixed centroid array — a pure projection, NO
+    per-vector window shuffle over the corpus (k-means needs one per Lloyd
+    iteration). Probing is a per-query sort of the same 16 dots
+    (array_sort over (−dot, list_id) structs — ties resolve to the lower
+    list_id, matching the oracle's ``ORDER BY cdot DESC, list_id``). The
+    only shuffles are the list_id equi-join and the final per-query top-k
+    window; per-query work scales with nprobe/n_lists of the corpus."""
+    from pyspark import StorageLevel
+
+    from dygiepp_spark.plans import cache
+
+    cents = [fixed_centroid(j, dim) for j in range(n_lists)]
+    dots = F.array(
+        *[
+            _dot(F.col("q"), F.array(*[F.lit(v) for v in cents[j]]))
+            for j in range(n_lists)
+        ]
+    )
+    # `dots` is a named column so the argmax and the probe sort below reuse
+    # one evaluation instead of re-expanding 16 aggregate expressions (the
+    # HOF re-evaluation trap pinned elsewhere in this repo).
+    q = cache.track(
+        quantize(emb, "embedding")
+        .select(F.col(id_col).cast("bigint").alias("vec_id"), "q")
+        .withColumn("dots", dots)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("nid"),
+        F.col("q").alias("nv"),
+        # argmax with lowest-list tie-break: array_position finds the FIRST
+        # occurrence of the max
+        (F.array_position(F.col("dots"), F.array_max("dots")) - 1)
+        .cast("bigint")
+        .alias("list_id"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-F.col("dots")[j]).alias("negdot"),
+                F.lit(j).cast("bigint").alias("list_id"),
+            )
+            for j in range(n_lists)
+        ]
+    )
+    probes = (
+        q.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("q").alias("qv"),
+            F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("pr"),
+        )
+        .select("qid", "qv", F.col("pr.list_id").alias("list_id"))
+    )
+    # each corpus vector lives in exactly one list, so a probe meets a
+    # neighbor at most once — no distinct needed
+    scored = (
+        probes.join(corpus, on="list_id")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", _dot(F.col("qv"), F.col("nv")).alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rank").cast("bigint"),
+            F.col("nid").alias("neighbor_id"),
+            "dot",
+        )
+    )
+
+
 def cosine_topk_pandas(
     emb: DataFrame, k: int = 3, n_queries: int = 32, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -359,10 +475,28 @@ def embedding_near_dup_pairs(
 
     from dygiepp_spark.plans import cache
 
+    # overflow guard (see _n2_bound): every vector's squared norm must stay
+    # under the bound or the int64 predicate below is meaningless. The
+    # assert_true lives inside a filter so Catalyst cannot prune it; it
+    # raises (both engines' fail-loud convention) instead of letting Spark
+    # wrap while DuckDB raises.
+    n2_bound = _n2_bound(max(threshold_den, threshold_num))
     withq = (
         quantize(emb, "embedding")
         .select(F.col(id_col).cast("bigint").alias("vec_id"), "q")
         .withColumn("n2", _dot(F.col("q"), F.col("q")))
+        .where(
+            F.assert_true(
+                F.col("n2") <= F.lit(n2_bound),
+                F.concat(
+                    F.lit(
+                        "embedding_near_dup_pairs int64 overflow guard: "
+                        f"squared norm > {n2_bound} (see _n2_bound) for vec_id "
+                    ),
+                    F.col("vec_id").cast("string"),
+                ),
+            ).isNull()
+        )
         .withColumn("bucket", _bucket_expr(dim))
         .withColumn(
             "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("bucket"))

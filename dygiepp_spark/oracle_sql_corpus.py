@@ -15,7 +15,12 @@ from dygiepp_spark.functions.hashing import (
     char_hash_sql,
 )
 from dygiepp_spark.functions.lexicons import STOPWORDS, sql_in
-from dygiepp_spark.operators.similarity import N_HYPERPLANES, QUANT_SCALE, hyperplane
+from dygiepp_spark.operators.similarity import (
+    N_HYPERPLANES,
+    QUANT_SCALE,
+    fixed_centroid,
+    hyperplane,
+)
 from dygiepp_spark.operators.text_quality import PROFILE_SIZE, WINNOW_WINDOW
 
 _H_TEXT = char_hash_sql("text", "duckdb")
@@ -152,6 +157,56 @@ FROM (
                     b.vec_id) AS rn
   FROM q a JOIN q b ON a.vec_id != b.vec_id
   WHERE a.vec_id < 32
+)
+WHERE rn <= 3"""
+
+# fixed-centroid IVF (similarity.ivf_topk_fixed): centroids from the same
+# deterministic generator, so assignment (argmax dot, lowest-list ties),
+# nprobe probing and in-list exact search are pure int64 algebra on both
+# engines. Defaults mirror the Spark builder: 16 lists, nprobe 4, k 3,
+# 32 queries.
+_IVF_CENTROID_ROWS = ", ".join(
+    f"({j}, [{', '.join(str(v) for v in fixed_centroid(j, 64))}])" for j in range(16)
+)
+
+EMBED_IVF_FIXED_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
+),
+cents AS (
+  SELECT CAST(list_id AS BIGINT) AS list_id,
+         list_transform(cv, x -> CAST(x AS BIGINT)) AS cv
+  FROM (VALUES {_IVF_CENTROID_ROWS}) AS c(list_id, cv)
+),
+cscored AS (
+  SELECT q.vec_id, cents.list_id,
+         CAST(list_dot_product(q.qv, cents.cv) AS BIGINT) AS cdot
+  FROM q CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+    FROM cscored) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+    FROM cscored WHERE vec_id < 32) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid,
+         CAST(list_dot_product(qq.qv, nq.qv) AS BIGINT) AS dot
+  FROM probes p
+  JOIN assigned a ON a.list_id = p.list_id
+  JOIN q nq ON nq.vec_id = a.vec_id
+  JOIN q qq ON qq.vec_id = p.qid
+  WHERE a.vec_id != p.qid
+)
+SELECT qid AS vec_id, CAST(rn AS BIGINT) AS rank, nid AS neighbor_id, dot
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+  FROM cand
 )
 WHERE rn <= 3"""
 

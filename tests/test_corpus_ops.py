@@ -234,3 +234,55 @@ def test_embedding_near_dup_pairs_exact_on_candidates(spark, emb):
             if dot > 0 and 100 * dot * dot >= 9 * n2a * n2b:
                 want.add((a, b))
     assert out == want and len(want) > 0
+
+
+def test_ivf_fixed_recall_and_exactness(spark, emb):
+    """Fixed-centroid IVF (the oracle-gated ANN variant, r3 VERDICT #3):
+    recall vs brute force holds like the k-means path, probed-list dots are
+    exact, and repeated runs are identical (no iteration, no randomness).
+    Cross-engine hash parity is covered by test_oracle_parity over the
+    registry entry."""
+    bf = similarity.dot_topk(emb, k=3, n_queries=16)
+    truth = {(r["vec_id"], r["neighbor_id"]) for r in bf.collect()}
+
+    def run(nprobe):
+        out = similarity.ivf_topk_fixed(
+            emb, k=3, n_lists=16, nprobe=nprobe, n_queries=16
+        )
+        return {(r["vec_id"], r["neighbor_id"]) for r in out.collect()}
+
+    got = run(4)
+    # data-independent centroids trade recall for hash-exactness; the
+    # k-means path is the quality variant. Structural pins: useful recall
+    # at nprobe=4, monotone in nprobe, exact at nprobe=n_lists (probing
+    # every list IS brute force, since each vector lives in exactly one).
+    r4 = len(truth & got) / len(truth)
+    r8 = len(truth & run(8)) / len(truth)
+    assert r4 >= 0.4, r4
+    assert r8 >= r4
+    assert run(16) == truth
+    bf_dots = {(r["vec_id"], r["neighbor_id"]): r["dot"] for r in bf.collect()}
+    ivf4 = similarity.ivf_topk_fixed(emb, k=3, n_lists=16, nprobe=4, n_queries=16)
+    for r in ivf4.collect():
+        key = (r["vec_id"], r["neighbor_id"])
+        if key in bf_dots:
+            assert bf_dots[key] == r["dot"]
+    from dygiepp_spark.plans import cache
+
+    cache.release_tracked()
+
+
+def test_near_dup_overflow_guard_raises(spark):
+    """r3 ADVICE: out-of-range embeddings must fail LOUDLY in Spark (which
+    would otherwise silently wrap int64 in non-ANSI mode) instead of
+    producing wrong pairs that diverge from the raising DuckDB oracle.
+    Components of magnitude 100 give n2 = 64·(100·1000)² ≈ 6.4e11, far over
+    the _n2_bound ≈ 3.03e8 cap."""
+    big = spark.createDataFrame(
+        [(0, [100.0] * 64), (1, [100.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="overflow guard"):
+        similarity.embedding_near_dup_pairs(big).collect()
+    from dygiepp_spark.plans import cache
+
+    cache.release_tracked()

@@ -131,3 +131,26 @@ def test_ivf_single_corpus_scan(spark):
     )
     assert scans <= 1, f"{scans} parquet scans"
     assert "InMemoryTableScan" in plan
+
+
+def test_ivf_fixed_single_scan_no_corpus_window(spark):
+    """The fixed-centroid IVF must keep its two scale properties: ONE
+    parquet scan (the quantized+dots projection persists for both the
+    corpus and query branches), and NO per-vector window over the corpus —
+    list assignment is a projection argmax, so the only window in the plan
+    is the per-query top-k (partitioned by qid, bounded by n_queries)."""
+    plan = _plan(spark, "embedding_ivf_fixed")
+    scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    assert scans <= 1, f"{scans} parquet scans"
+    assert "InMemoryTableScan" in plan
+    import re
+
+    # exactly the top-k Window; the k-means variant needs one per Lloyd
+    # pass. WindowGroupLimit nodes are the rank<=k pushdown, not windows.
+    windows = [
+        l for l in plan.splitlines() if re.match(r"^\(\d+\) Window(Exec)?\s*$", l.strip())
+    ]
+    assert len(windows) <= 1, windows
