@@ -278,6 +278,71 @@ def conll_coref_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         g.unpersist()
 
 
+CEAF_MAX_SMALL = 18  # bitmask-DP side cap: 2^18 states
+CEAF_MAX_WORK = 200_000_000  # |big| × 2^|small| × |small| op bound per component
+
+
+def wide_component_report(
+    pred: DataFrame,
+    gold: DataFrame,
+    max_small: int = CEAF_MAX_SMALL,
+    max_work: int = CEAF_MAX_WORK,
+) -> DataFrame:
+    """Per-conversation count of CEAF intersection-graph components that
+    exceed `ceaf_phi4_metrics`' bitmask-DP bound — the ops-rollup twin of
+    that metric's `wide_components` flag (r3 VERDICT #6: a corpus whose
+    coref degenerated into greedy-lower-bound components must be visible in
+    the one report an operator reads, not only inside the metric row).
+
+    Returns (conv_id, wide_components) for conversations with ≥1 flagged
+    component. Same predicate as the metric: a component is wide when its
+    smaller cluster side exceeds `max_small` or |big|·2^|small|·|small|
+    exceeds `max_work`.
+
+    Shape: the bipartite pred↔gold cluster graph (edge = shared mention) is
+    tiny relative to the corpus — one equi-join on the mention key, then
+    connected components per conversation via the grouped union-find (one
+    shuffle, no iteration). Pred/gold cluster nodes are disambiguated by
+    parity (2·id vs 2·id+1) so the two id spaces cannot collide.
+
+    Equivalence pin: tests/test_conll_coref.py asserts the summed count
+    equals ceaf_phi4_metrics' wide_components on an interlocked clustering
+    that trips the real bound."""
+    from dygiepp_spark.operators import graph
+
+    inter = (
+        pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos")
+        .join(
+            gold.select("conv_id", F.col("cluster_id").alias("gc"), "doc_pos"),
+            on=["conv_id", "doc_pos"],
+        )
+        .select("conv_id", "pc", "gc")
+        .distinct()
+    )
+    edges = inter.select(
+        "conv_id",
+        (F.col("pc") * 2).alias("src"),
+        (F.col("gc") * 2 + 1).alias("dst"),
+    )
+    comp = graph.connected_components_grouped(edges, "conv_id")
+    per_comp = comp.groupBy("group", "component").agg(
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias("n_p"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0)).alias("n_g"),
+    )
+    small = F.least("n_p", "n_g")
+    big = F.greatest("n_p", "n_g")
+    # shiftleft wraps for small > 63, but the first disjunct is already
+    # true there (small > max_small), and OR(true, garbage) = true
+    pow2_small = F.expr("shiftleft(cast(1 as bigint), cast(least(n_p, n_g) as int))")
+    wide = (small > max_small) | (big * pow2_small * small > max_work)
+    return (
+        per_comp.where(wide)
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wide_components"))
+        .select(F.col("group").alias("conv_id"), "wide_components")
+    )
+
+
 def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """F6 — CEAFφ4: optimal one-to-one cluster alignment maximizing
     Σ φ4(P_i, G_j), φ4 = 2|P∩G| / (|P|+|G|); precision = Σφ4 / #pred
@@ -304,8 +369,8 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    MAX_SMALL = 18  # bitmask-DP side cap: 2^18 states
-    MAX_WORK = 200_000_000  # |big| × 2^|small| × |small| op bound per component
+    MAX_SMALL = CEAF_MAX_SMALL
+    MAX_WORK = CEAF_MAX_WORK
 
     mkey = ["conv_id", "doc_pos"]
     p = pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos").persist(

@@ -768,10 +768,43 @@ def coref_propagation(spark, sf_dir):
 
 def validation_report(spark, sf_dir):
     """Input-contract validation (the reference's ingest checks: empty
-    tokens are a hard error, doc/data.md:29; document.py:160-173)."""
+    tokens are a hard error, doc/data.md:29; document.py:160-173) PLUS
+    per-conversation coref-degeneracy rows (r3 VERDICT #6): one row per
+    conversation whose CEAF intersection graph contains components scored
+    by the greedy lower bound (violation='coref_wide_component',
+    wide_components = flagged count). Input-violation rows carry
+    wide_components=0.
+
+    Oracle note: the Spark side computes components GENERICALLY
+    (metrics.wide_component_report — connected components over the
+    bipartite cluster graph). The DuckDB twin exploits a structural
+    invariant of this engine's clusterings: a pred cluster is a same-
+    surface gap-segment and the gold cluster for a surface is unique per
+    conversation, so every intersection component contains EXACTLY ONE
+    gold cluster and the DP-bound predicate reduces to 2·n_pred_segments >
+    max_work. The generic path and the reduction provably agree on any
+    clustering this pipeline emits; the generic path also handles
+    arbitrary cluster tables (pinned vs ceaf_phi4_metrics' own flag in
+    tests/test_conll_coref.py)."""
     from dygiepp_spark.operators.validate import validation_report as vr
 
-    return _longs(vr(_turns(spark, sf_dir)))
+    base = _longs(vr(_turns(spark, sf_dir))).withColumn(
+        "wide_components", F.lit(0).cast("bigint")
+    )
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    try:
+        wide = metrics._eager(metrics.wide_component_report(pred, gold))
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
+    widerows = wide.select(
+        "conv_id",
+        F.lit(-1).cast("bigint").alias("turn_idx"),
+        F.lit("coref_wide_component").alias("violation"),
+        F.col("wide_components").cast("bigint"),
+    )
+    return base.unionByName(widerows)
 
 
 def mention_label_rollup(spark, sf_dir):
@@ -1362,10 +1395,44 @@ FROM c"""
           FROM checked
         )
         SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
-               unnest([v for v in [v1, v2, v3, v4, v5] if v IS NOT NULL]) AS violation
+               unnest([v for v in [v1, v2, v3, v4, v5] if v IS NOT NULL]) AS violation,
+               CAST(0 AS {_B}) AS wide_components
         FROM flagged
         WHERE v1 IS NOT NULL OR v2 IS NOT NULL OR v3 IS NOT NULL
-           OR v4 IS NOT NULL OR v5 IS NOT NULL"""
+           OR v4 IS NOT NULL OR v5 IS NOT NULL
+        UNION ALL
+        -- coref-degeneracy rollup (r3 VERDICT #6). Structural reduction of
+        -- the CEAF wide-component flag: one gold cluster per (conv,
+        -- surface) means every intersection component's small side is 1,
+        -- so wide ⟺ |pred segments|·2^1·1 > max_work.
+        SELECT conv_id, CAST(-1 AS {_B}) AS turn_idx,
+               'coref_wide_component' AS violation,
+               CAST(COUNT(*) AS {_B}) AS wide_components
+        FROM (
+          SELECT vp.conv_id, vp.surface, COUNT(*) AS n_p
+          FROM (
+            SELECT conv_id, surface, segment
+            FROM (
+              SELECT conv_id, surface, doc_pos,
+                     SUM(CASE WHEN prev IS NULL OR doc_pos - prev > 40
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id, surface ORDER BY doc_pos)
+                       AS segment
+              FROM (
+                SELECT conv_id, surface, doc_pos,
+                       lag(doc_pos) OVER (PARTITION BY conv_id, surface
+                                          ORDER BY doc_pos) AS prev
+                FROM cmentions
+              )
+            )
+            GROUP BY conv_id, surface, segment HAVING COUNT(*) >= 2
+          ) vp
+          JOIN csurface c
+            ON vp.conv_id = c.conv_id AND vp.surface = c.surface AND c.n >= 2
+          GROUP BY vp.conv_id, vp.surface
+        )
+        WHERE 2 * n_p > 200000000
+        GROUP BY conv_id"""
         ),
         "mention_label_rollup": q(
             f"""SELECT CASE WHEN CAST(conv_id AS {_B}) % 2 = 0 THEN 'even' ELSE 'odd' END AS route,

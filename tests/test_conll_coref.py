@@ -221,3 +221,42 @@ def test_near_dup_release_handle(spark):
     assert cache.release_tracked() >= 2  # shingles + bands
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
     assert out.count() == n1  # recompute after release is identical
+
+
+def test_wide_component_report_matches_ceaf_flag(spark):
+    """The ops-rollup twin (metrics.wide_component_report, surfaced in the
+    validation_report registry query per r3 VERDICT #6) must agree with
+    ceaf_phi4_metrics' own wide_components flag — pinned on an interlocked
+    20×20 pred/gold grid that genuinely trips the real DP bound
+    (small side 20 > CEAF_MAX_SMALL 18), plus a healthy conversation that
+    must NOT be flagged."""
+    from dygiepp_spark.operators import metrics
+
+    # grid conv: mention (i, j) belongs to pred cluster i and gold cluster j
+    grid = [
+        ("wideconv", i, j, i * 20 + j) for i in range(20) for j in range(20)
+    ]
+    healthy = [("okconv", 0, 0, 0), ("okconv", 0, 0, 1), ("okconv", 1, 1, 2), ("okconv", 1, 1, 3)]
+    rows = grid + healthy
+    pred = spark.createDataFrame(
+        [(c, p, pos) for c, p, _, pos in rows],
+        "conv_id string, cluster_id long, doc_pos long",
+    )
+    gold = spark.createDataFrame(
+        [(c, g, pos) for c, _, g, pos in rows],
+        "conv_id string, cluster_id long, doc_pos long",
+    )
+    report = {
+        r["conv_id"]: r["wide_components"]
+        for r in metrics.wide_component_report(pred, gold).collect()
+    }
+    assert report == {"wideconv": 1}
+    ceaf = metrics.ceaf_phi4_metrics(pred, gold).collect()[0]
+    assert ceaf["wide_components"] == 1 == sum(report.values())
+    # tightened bounds flag nothing extra on the healthy conversation alone
+    assert (
+        metrics.wide_component_report(
+            pred.where("conv_id = 'okconv'"), gold.where("conv_id = 'okconv'")
+        ).count()
+        == 0
+    )
