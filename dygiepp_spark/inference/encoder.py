@@ -56,12 +56,9 @@ class TorchSpanScorer:
             h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
         return h % VOCAB_BUCKETS
 
-    def forward(self, token_batch: list[list[str]]) -> list[TurnPredictions]:
-        """One padded+masked tensor forward for the whole micro-batch, then
-        per-turn decode with tensor scores replacing the lexicon tables."""
+    def _encode(self, token_batch: list[list[str]]):
+        """One padded+masked embedding forward for the whole micro-batch."""
         torch = self._torch
-        if not token_batch:
-            return []
         max_len = max(1, max(len(t) for t in token_batch))
         ids = torch.zeros((len(token_batch), max_len), dtype=torch.long)
         mask = torch.zeros((len(token_batch), max_len), dtype=torch.bool)
@@ -69,8 +66,85 @@ class TorchSpanScorer:
             for j, tok in enumerate(toks):
                 ids[i, j] = self._bucket(tok)
                 mask[i, j] = True
-        states = self._emb(ids) * mask.unsqueeze(-1)  # [B, L, D]
+        return self._emb(ids) * mask.unsqueeze(-1)  # [B, L, D]
 
+    def forward(self, token_batch: list[list[str]]) -> list[TurnPredictions]:
+        """One padded+masked tensor forward for the whole micro-batch, then
+        per-turn decode with tensor scores replacing the lexicon tables.
+
+        Head scoring is BATCHED (r3 VERDICT #2): every span/trigger rep in
+        the micro-batch is gathered into one [M, 3D] tensor and scored with
+        a single `_span_head` matmul (pairs likewise through `_pair_head`)
+        — the reference itself scores all spans in one FFN forward
+        (dygie/models/ner.py:93-104). The old one-Python-call-per-mention
+        path survives only as `_forward_loop`, the identity reference for
+        the skipif test."""
+        torch = self._torch
+        if not token_batch:
+            return []
+        states = self._encode(token_batch)
+        bases = [self._standin._forward_one(toks) for toks in token_batch]
+
+        # gather (turn, start, end) for every span-shaped candidate: the
+        # mentions first, then the triggers (a trigger is the width-1 span
+        # [p, p] — same width-index convention as the loop path)
+        span_ix: list[tuple[int, int, int]] = []
+        pair_ix: list[tuple[int, int, int]] = []
+        for i, base in enumerate(bases):
+            for s, e, *_ in base.mentions:
+                span_ix.append((i, s, e))
+            for p, *_ in base.triggers:
+                span_ix.append((i, p, p))
+            for s1, _t1, s2, *_ in base.triples:
+                pair_ix.append((i, s1, s2))
+
+        span_raw: list[float] = []
+        if span_ix:
+            ti = torch.tensor([x[0] for x in span_ix], dtype=torch.long)
+            si = torch.tensor([x[1] for x in span_ix], dtype=torch.long)
+            ei = torch.tensor([x[2] for x in span_ix], dtype=torch.long)
+            reps = torch.cat(
+                [states[ti, si], states[ti, ei], self._width_emb(ei - si + 1)], dim=1
+            )  # [M, 3D]
+            span_raw = [float(v) for v in self._span_head(reps).squeeze(-1)]
+        pair_raw: list[float] = []
+        if pair_ix:
+            ti = torch.tensor([x[0] for x in pair_ix], dtype=torch.long)
+            ai = torch.tensor([x[1] for x in pair_ix], dtype=torch.long)
+            bi = torch.tensor([x[2] for x in pair_ix], dtype=torch.long)
+            reps = torch.cat([states[ti, ai], states[ti, bi]], dim=1)  # [P, 2D]
+            pair_raw = [float(v) for v in self._pair_head(reps).squeeze(-1)]
+
+        out: list[TurnPredictions] = []
+        span_it = iter(span_raw)
+        pair_it = iter(pair_raw)
+        for base in bases:
+            scored = TurnPredictions()
+            for s, e, label, surface, _raw, _soft in base.mentions:
+                raw = next(span_it)
+                scored.mentions.append(
+                    (s, e, label, surface, round(raw, 4), round(_sigmoid(raw), 4))
+                )
+            for p, etype, _raw, _soft in base.triggers:
+                raw = next(span_it)
+                scored.triggers.append((p, etype, round(raw, 4), round(_sigmoid(raw), 4)))
+            for s1, t1, s2, t2, pred, _raw, _soft in base.triples:
+                raw = next(pair_it)
+                scored.triples.append(
+                    (s1, t1, s2, t2, pred, round(raw, 4), round(_sigmoid(raw), 4))
+                )
+            scored.arguments = base.arguments  # role decode carries no score
+            out.append(scored)
+        return out
+
+    def _forward_loop(self, token_batch: list[list[str]]) -> list[TurnPredictions]:
+        """Reference implementation: per-candidate Python head calls. Kept
+        ONLY so the skipif seam test can assert batched ≡ loop output; the
+        production path is the batched `forward` above."""
+        torch = self._torch
+        if not token_batch:
+            return []
+        states = self._encode(token_batch)
         out: list[TurnPredictions] = []
         for i, toks in enumerate(token_batch):
             base = self._standin._forward_one(toks)
@@ -96,7 +170,7 @@ class TorchSpanScorer:
                     )
                 )
                 scored.triggers.append((p, etype, round(raw, 4), round(_sigmoid(raw), 4)))
-            scored.arguments = base.arguments  # role decode carries no score
+            scored.arguments = base.arguments
             out.append(scored)
         return out
 

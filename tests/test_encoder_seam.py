@@ -43,3 +43,27 @@ def test_pipeline_is_backend_blind(spark):
     b = iudf.infer(turns, cfg=PipelineConfig(model_backend="torch"))
     assert a.schema == b.schema
     assert a.count() == b.count()
+
+
+def test_batched_heads_match_loop_reference():
+    """r3 VERDICT #2: head scoring must be one stacked matmul per
+    micro-batch, not a Python call per mention. The batched path must be
+    numerically identical to the per-candidate loop (same gather order,
+    same Linear weights; tiny gemm-order float drift is absorbed by the
+    4-decimal rounding both paths apply)."""
+    from dygiepp_spark.inference.encoder import TorchSpanScorer
+
+    scorer = TorchSpanScorer(PipelineConfig(model_backend="torch"))
+    batch = [
+        "alice sent bob a report and bob filed the big table".split(),
+        "the server crashed and carol restarted the server".split(),
+        "bob met alice".split(),
+    ]
+    batched = scorer.forward(batch)
+    loop = scorer._forward_loop(batch)
+    assert len(batched) == len(loop)
+    for b, l in zip(batched, loop):
+        assert b.mentions == l.mentions
+        assert b.triples == l.triples
+        assert b.triggers == l.triggers
+        assert b.arguments == l.arguments
