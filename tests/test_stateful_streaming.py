@@ -39,11 +39,11 @@ def fast_state(spark):
 
 
 def drain_available_now(q, probe, idle_s=6, timeout=150):
-    """availableNow + applyInPandasWithState never self-terminates: the
-    processing-time timeout keeps firing no-data timer batches, so the
-    query stays active forever (awaitTermination(180) burned its full
-    budget in every stateful test) and even status-based idling is defeated
-    by the timer triggers. Drain = wait until at least one batch committed,
+    """availableNow + applyInPandasWithState may not self-terminate
+    promptly: timer batches (now watermark-evaluation batches under
+    EventTimeTimeout) can keep the query active (awaitTermination(180)
+    burned its full budget in every stateful test) and even status-based
+    idling is defeated. Drain = wait until at least one batch committed,
     the OUTPUT (probe()) has been stable for idle_s, and the source reports
     no pending data (guards a mid-flight data batch), then stop()."""
     deadline = time.time() + timeout
@@ -104,8 +104,8 @@ def test_incremental_edges_match_batch(spark, fast_state):
 
 
 def test_timed_out_state_is_removed():
-    """ProcessingTimeTimeout firing must REMOVE state and emit nothing —
-    re-arming the timeout would keep idle-conversation state alive forever
+    """A fired (event-time) timeout must REMOVE state and emit nothing —
+    re-arming the timeout would keep stale-conversation state alive forever
     on a continuous stream."""
     import pandas as pd
 
@@ -279,15 +279,18 @@ def test_reorder_buffers_gaps_and_flushes_on_timeout():
         def remove(self):
             self.removed = True
 
-        def setTimeoutDuration(self, ms):
-            pass
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ts = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
 
     # batch 1: turns 0 and 2 arrive (1 missing) → only 0 releases
     st = FakeState()
     pdf = pd.DataFrame({"turn_idx": [2, 0], "text": ["t2", "t0"]})
     out = pd.concat(list(_reorder_group(("c",), iter([pdf]), st)))
     assert list(out["turn_idx"]) == [0]
-    next_idx, buffered = st.get
+    next_idx, buffered, _max_ts = st.get
     assert next_idx == 1 and "2" in buffered  # only the gap turn is held
 
     # batch 2: turn 1 arrives → 1 and the buffered 2 release in order
@@ -296,7 +299,7 @@ def test_reorder_buffers_gaps_and_flushes_on_timeout():
     assert list(out2["turn_idx"]) == [1, 2]
 
     # timeout with a still-missing gap: drain buffer in order, drop state
-    st3 = FakeState((5, '{"7": "t7", "6": "t6"}'))
+    st3 = FakeState((5, '{"7": ["t7", 0], "6": ["t6", 0]}', 0))
     st3.hasTimedOut = True
     out3 = pd.concat(list(_reorder_group(("c",), iter([]), st3)))
     assert list(out3["turn_idx"]) == [6, 7] and st3.removed
@@ -341,7 +344,9 @@ def test_reorder_then_coref_two_query_composition(spark, fast_state):
 
         # query 2: incremental coref over the ordered log
         ordered_stream = (
-            spark.readStream.schema("conv_id string, turn_idx int, text string")
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, text string, ts timestamp"
+            )
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{d}/ordered")
         )
@@ -369,3 +374,146 @@ def test_reorder_then_coref_two_query_composition(spark, fast_state):
         assert got == want and len(want) > 0  # TRUE-order positions restored
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reorder_drains_on_watermark_advance(spark, fast_state):
+    """r3 VERDICT #5 pin: a buffered gap drains when the EVENT-TIME
+    watermark passes (newest buffered event + gap), not on wall-clock
+    idleness. Conversation a arrives with turn 1 missing; a later file for
+    conversation b carries event times 3 h ahead, which advances the
+    watermark far past a's expiry point — a's buffer must flush IN ORDER
+    within seconds of wall-clock time (the old ProcessingTimeTimeout would
+    have required a 30-minute wall wait, and a fast replay could flush
+    early)."""
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=2, seed=6)  # conv0, conv1
+        # conv0: drop turn 1 → gap; keep 0, 2, 3
+        a = turns.where("conv_id = 'conv0' and turn_idx in (0, 2, 3)")
+        # conv1: event time 3 hours later (watermark driver)
+        b = turns.where("conv_id = 'conv1'").withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 3 HOURS")
+        )
+        _write_flat(a, f"{d}/in", "a")
+        time.sleep(1.1)
+        _write_flat(b, f"{d}/in", "b")
+
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q = (
+            stateful.reorder_turns(stream)
+            .writeStream.format("memory")
+            .queryName("wm_drain")
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(
+            q, lambda: spark.sql("select count(*) from wm_drain").head()[0]
+        )
+        rows = spark.sql(
+            "select conv_id, turn_idx from wm_drain order by conv_id, turn_idx"
+        ).collect()
+        got = [(r["conv_id"], r["turn_idx"]) for r in rows]
+        # conv0's gap (turn 1 never arrives) drained 2 and 3 via the
+        # event-time timeout; conv0 turn 0 released normally
+        assert [t for c, t in got if c == "conv0"] == [0, 2, 3]
+        assert len([t for c, t in got if c == "conv1"]) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+class _UnitState:
+    """Minimal GroupState double for unit/property tests."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def test_reorder_then_coref_any_permutation_matches_batch():
+    """r3 VERDICT #8 property: for ANY arrival permutation and ANY
+    micro-batch slicing within the buffer bound, reorder→coref composes to
+    exactly the batch edge set of the true-order conversation. Pure-python
+    over the group functions (the end-to-end two-query composition is
+    pinned separately), so hypothesis can sweep many adversarial orders."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from dygiepp_spark.streaming.stateful import _edges_for_group, _reorder_group
+
+    texts = [
+        "the customer opened a table",
+        "bob checked the table and the row",
+        "the row broke the column",
+        "alice fixed the column with a key",
+        "the key matched the value",
+        "carol stored the value in spark",
+        "spark wrote the line",
+        "the line closed the customer case",
+    ]
+
+    def stream_edges(arrival_order, cuts):
+        reorder_st, coref_st = _UnitState(), _UnitState()
+        edges = []
+        batches = []
+        prev = 0
+        for c in sorted(set(cuts)):
+            if prev < c <= len(arrival_order):
+                batches.append(arrival_order[prev:c])
+                prev = c
+        batches.append(arrival_order[prev:])
+        for batch in batches:
+            if not batch:
+                continue
+            pdf = pd.DataFrame(
+                {"turn_idx": list(batch), "text": [texts[i] for i in batch]}
+            )
+            released = pd.concat(list(_reorder_group(("c",), iter([pdf]), reorder_st)))
+            if len(released):
+                out = pd.concat(
+                    list(_edges_for_group(("c",), iter([released]), coref_st))
+                )
+                edges.extend(
+                    (int(r.doc_pos), int(r.ant_doc_pos)) for r in out.itertuples()
+                )
+        return edges
+
+    # batch twin: the whole conversation, true order, one batch
+    want_st = _UnitState()
+    whole = pd.DataFrame({"turn_idx": list(range(len(texts))), "text": texts})
+    want_df = pd.concat(list(_edges_for_group(("c",), iter([whole]), want_st)))
+    want = [(int(r.doc_pos), int(r.ant_doc_pos)) for r in want_df.itertuples()]
+    assert len(want) > 0
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        order=st.permutations(list(range(len(texts)))),
+        cuts=st.lists(st.integers(min_value=1, max_value=7), max_size=6),
+    )
+    def check(order, cuts):
+        assert stream_edges(order, cuts) == want
+
+    check()
