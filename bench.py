@@ -16,6 +16,29 @@ import os
 import sys
 import time
 
+# 1-min load average above this → the host is visibly co-tenanted; anchor
+# measurements retry once so round-over-round deltas are attributable
+# (r3 VERDICT: the big_corpus anchor regressed 22% under load_avg 13.4
+# with no way to tell noise from regression).
+LOAD_RETRY_THRESHOLD = 4.0
+
+
+def _with_load_retry(measure) -> list[dict]:
+    """Run `measure()`; if the load average sampled at start exceeded the
+    threshold, sleep and re-run once. Returns ALL attempts (each tagged
+    with its starting load) — callers pick the best and publish the rest
+    as evidence."""
+    import time as _t
+
+    attempts = []
+    load0 = os.getloadavg()[0]
+    attempts.append({"load_avg_1m": round(load0, 2), **measure()})
+    if load0 > LOAD_RETRY_THRESHOLD:
+        _t.sleep(30)
+        attempts.append({"load_avg_1m": round(os.getloadavg()[0], 2), **measure()})
+    return attempts
+
+
 HEADLINE = [
     "ner_mentions",
     "relation_triples",
@@ -65,10 +88,11 @@ def main() -> None:
     t_total0 = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
-        df = QUERIES[name].build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # scoped: operator-internal persists don't outlive their query
+        with _cache.scoped():
+            df = QUERIES[name].build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
-        _cache.release_tracked()  # operator-internal persists don't outlive their query
     total = time.perf_counter() - t_total0
 
     # second headline: end-to-end extraction throughput on a larger
@@ -100,14 +124,16 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
 
         _extract()  # warm-up (worker spawn + codegen), not measured
-        t0 = time.perf_counter()
-        _extract()
-        big_sec = time.perf_counter() - t0
-        big = {
-            "n_turns": n_big,
-            "sec": round(big_sec, 3),
-            "turns_per_sec": round(n_big / big_sec, 1),
-        }
+
+        def _measure_big() -> dict:
+            t0 = time.perf_counter()
+            _extract()
+            sec = time.perf_counter() - t0
+            return {"sec": round(sec, 3), "turns_per_sec": round(n_big / sec, 1)}
+
+        attempts = _with_load_retry(_measure_big)
+        best = max(attempts, key=lambda a: a["turns_per_sec"])
+        big = {"n_turns": n_big, **best, "attempts": attempts}
         big_turns.unpersist()
 
     # third anchor: the near-dup persist trade at a scale where corpus
@@ -117,34 +143,51 @@ def main() -> None:
     # win here, not just in the physical plan. Disable with
     # SPARK_GRAFT_BENCH_NEARDUP=0.
     nd_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NEARDUP", "100000"))
-    neardup = None
+    neardup = neardup_small = None
     if nd_docs > 0:
         from dygiepp_spark.operators import dedup
         from dygiepp_spark.plans import cache
         from dygiepp_spark.synth import synth_docs
 
+        def _neardup_pair(docs_df) -> dict:
+            def _run(persist: bool) -> float:
+                t0 = time.perf_counter()
+                with cache.scoped():
+                    dedup.near_dup_pairs(
+                        docs_df, persist_shingles=persist
+                    ).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            _run(True)  # warm-up, not measured
+
+            def _measure() -> dict:
+                sec_persist = _run(True)
+                sec_no_persist = _run(False)
+                return {
+                    "sec_persist": round(sec_persist, 3),
+                    "sec_no_persist": round(sec_no_persist, 3),
+                    "persist_speedup": round(sec_no_persist / sec_persist, 2),
+                }
+
+            attempts = _with_load_retry(_measure)
+            best = min(attempts, key=lambda a: a["sec_persist"])
+            return {**best, "attempts": attempts}
+
         docs = synth_docs(spark, n_docs=nd_docs).repartition(int(cpus) * 2).persist()
         docs.count()
-
-        def _run(persist: bool) -> float:
-            t0 = time.perf_counter()
-            dedup.near_dup_pairs(docs, persist_shingles=persist).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            sec = time.perf_counter() - t0
-            cache.release_tracked()
-            return sec
-
-        _run(True)  # warm-up, not measured
-        sec_persist = _run(True)
-        sec_no_persist = _run(False)
-        neardup = {
-            "n_docs": nd_docs,
-            "sec_persist": round(sec_persist, 3),
-            "sec_no_persist": round(sec_no_persist, 3),
-            "persist_speedup": round(sec_no_persist / sec_persist, 2),
-        }
+        neardup = {"n_docs": nd_docs, **_neardup_pair(docs)}
         docs.unpersist()
+
+        # the crossover twin (r3 VERDICT #7): the SAME pair at the sf_dir
+        # documents scale, where job setup dominates and the persist trade
+        # can invert — recording both scales each round arms the BENCH.md
+        # revert threshold with fresh data instead of a one-off measurement.
+        from dygiepp_spark.tables import load_table
+
+        small_docs = load_table(spark, "documents", sf_dir).persist()
+        n_small = small_docs.count()
+        neardup_small = {"n_docs": n_small, **_neardup_pair(small_docs)}
+        small_docs.unpersist()
 
     out = {
         "metric": "headline_query_wall_sec",
@@ -165,6 +208,8 @@ def main() -> None:
         out["big_corpus_extraction"] = big
     if neardup is not None:
         out["near_dup_big"] = neardup
+    if neardup_small is not None:
+        out["near_dup_small"] = neardup_small
     print(json.dumps(out))
     spark.stop()
 

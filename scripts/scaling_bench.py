@@ -96,13 +96,30 @@ def main() -> None:
         f"{n}to{n2}_x2": eff(n, n2) for n in levels for n2 in levels if n2 == 2 * n
     }
     # The gate is pinned to the canonical 4→16 pairing. Other N→4N pairings
-    # must also pass UNLESS explicitly excluded here with the measured
-    # reason — no silent max-over-pairings escape hatch.
-    EXCLUDED = {
-        "8to32": "host vCPU oversubscription above ~16 active vCPUs "
-        "(guest shows ~98% user CPU with every worker busy; per-core "
-        "throughput drops only when all 32 vCPUs are active — see BENCH.md)"
-    }
+    # must also pass UNLESS excluded — and an exclusion must be RE-DETECTED
+    # from this run's own measurements (r3 ADVICE: a baked-in exclusion
+    # would hide a genuine 8→32 regression on well-backed hardware).
+    # Detection: vCPU oversubscription shows as per-core throughput
+    # collapsing at full width while scaling in the well-backed range
+    # (8→16 doubling) stays healthy — a real serial-section regression
+    # would degrade the doublings too.
+    per_core = {c: runs[c]["turns_per_sec"] / c for c in levels}
+    EXCLUDED = {}
+    if (
+        32 in per_core
+        and 16 in per_core
+        and per_core[32] < 0.75 * per_core[16]
+        and doublings.get("8to16_x2", 0.0) >= 0.8
+    ):
+        EXCLUDED["8to32"] = (
+            "host vCPU oversubscription detected THIS run: per-core "
+            f"throughput {round(per_core[32])}/core at 32 vs "
+            f"{round(per_core[16])}/core at 16 "
+            f"({round(per_core[32] / per_core[16], 2)}x, threshold 0.75) "
+            f"while the well-backed 8→16 doubling holds at "
+            f"{doublings.get('8to16_x2')} — the wall at full width is "
+            "hardware backing, not a serial section (see BENCH.md)"
+        )
     e_4_16 = pairings.get("4to16")
     e_8_16 = doublings.get("8to16_x2")
     required = {k: v for k, v in pairings.items() if k not in EXCLUDED}
