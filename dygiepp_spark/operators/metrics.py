@@ -30,7 +30,14 @@ def micro_prf(
     without a persist Catalyst recomputes the upstream extraction pipeline
     once per branch (measured: 8 corpus scans for trigger_metrics). The
     sets persist for the single eager evaluation of the one-row result and
-    release before return."""
+    release before return.
+
+    Contract (r3 ADVICE): this function is EAGER — calling it runs the
+    Spark jobs immediately and returns a tiny driver-local DataFrame (the
+    whole metric family does; see _eager). Metric outputs are terminal
+    scalars, so laziness buys nothing; a caller that ever needs to compose
+    metrics into a larger lazy plan should build the aggregation
+    expressions directly instead of calling through this wrapper."""
     from pyspark import StorageLevel
 
     p = pred.select(*keys).distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -69,7 +76,11 @@ def micro_prf(
 def per_namespace_metrics(pred: DataFrame, gold: DataFrame, keys: list[str]) -> DataFrame:
     """F7 — metric fan-out per (dataset, task) namespace plus a MEAN__ row
     (reference: dygie/models/dygie.py:336-366). Inputs must carry
-    `dataset` and `task` columns."""
+    `dataset` and `task` columns.
+
+    Eager like micro_prf (see its contract note): the fan-out materializes
+    in driver memory — one row per namespace plus MEAN__, bounded by the
+    NAMESPACE count (a handful), never the corpus."""
     from pyspark import StorageLevel
 
     join_keys = ["dataset", "task", *keys]
