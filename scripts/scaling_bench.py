@@ -211,7 +211,11 @@ conditions — a **2.9–5.4× win** (5.4× on a quiet host), growing with
 corpus size (the no-persist plan re-tokenizes the corpus per branch).
 Revert threshold: if `persist_speedup` in a round's BENCH_r{{N}}.json
 `near_dup_big` entry drops below 1.0, flip `persist_shingles` default to
-False and re-pin the plan test.
+False and re-pin the plan test. Since r4, bench.py records the pair at BOTH
+scales every round (`near_dup_big` ≈100k docs, `near_dup_small` = the
+sf-dir documents table) so the crossover point arming this threshold is
+re-measured per round, and anchor measurements retry once under load_avg >
+4 with all attempts recorded (round-over-round deltas are attributable).
 
 Reproduce: `python scripts/scaling_bench.py`. Per-operator benchmark
 numbers: `python bench.py` (recorded per-round as BENCH_r{{N}}.json).

@@ -143,6 +143,10 @@ def test_cache_scopes_isolated(spark):
 
     from dygiepp_spark.plans import cache
 
+    # drain leftovers other tests tracked into this thread's root scope
+    # (releasing early is always safe) so the exact counts below hold
+    cache.release_tracked()
+
     def tracked_persist(n):
         # distinct row counts → distinct logical plans (identical plans
         # share one cache entry, which would alias the scopes)
