@@ -516,6 +516,119 @@ def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
         g.unpersist()
 
 
+PHI4_SCALE = 1_000_000  # fixed-point scale for quantized φ4 terms
+
+
+def ceaf_phi4_star_quantized(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """F6 — CEAFφ4 under the STAR-COMPONENT reduction, cross-engine exact
+    (the oracle-gateable CEAF twin; generic optimal assignment stays in
+    ceaf_phi4_metrics with its brute-force pytest pin).
+
+    Validity: when every intersection component contains exactly one gold
+    cluster — true BY CONSTRUCTION for this engine's surface-form
+    clusterings, where a pred cluster is a same-surface gap-segment and the
+    gold cluster per (conv, surface) is unique (same invariant the
+    validation_report oracle exploits) — the optimal one-to-one assignment
+    degenerates to picking the max-φ4 edge per gold cluster: edges of a
+    star never compete for a pred cluster. Agreement with the generic DP is
+    pinned in pytest to quantization tolerance.
+
+    Hash-exactness: each φ4 = 2i/(|P|+|G|) term is fixed-point-quantized to
+    1e-6 BEFORE the max/sum (the proven B³ recipe, see conll_coref_metrics)
+    so both engines aggregate identical int64s; the final P/R/F1 divisions
+    are single IEEE ops on identical integers. Eager like the rest of the
+    metric family."""
+    from pyspark import StorageLevel
+
+    mkey = ["conv_id", "doc_pos"]
+    p = pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    g = gold.select("conv_id", F.col("cluster_id").alias("gc"), "doc_pos").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        inter = (
+            p.join(g, on=mkey)
+            .groupBy("conv_id", "pc", "gc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+        )
+        psz = p.groupBy("conv_id", "pc").agg(
+            F.count(F.lit(1)).cast("bigint").alias("size_p")
+        )
+        gsz = g.groupBy("conv_id", "gc").agg(
+            F.count(F.lit(1)).cast("bigint").alias("size_g")
+        )
+        # same operation ORDER as the SQL twin: 2e6 · i / (|P|+|G|), one
+        # multiply then one divide, round-half-up to int64
+        phi_q = F.round(
+            F.lit(2.0 * PHI4_SCALE) * F.col("i") / (F.col("size_p") + F.col("size_g"))
+        ).cast("bigint")
+        star = (
+            inter.join(psz, on=["conv_id", "pc"])
+            .join(gsz, on=["conv_id", "gc"])
+            .withColumn("phi_q", phi_q)
+            .groupBy("conv_id", "gc")
+            .agg(F.max("phi_q").alias("best_q"))
+        )
+        tot = (
+            star.agg(
+                F.coalesce(F.sum("best_q"), F.lit(0)).cast("bigint").alias("sum_phi_q")
+            )
+            .crossJoin(psz.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred_cl")))
+            .crossJoin(gsz.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold_cl")))
+        )
+
+        def _safe(num, den):
+            return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
+
+        prec = _safe(F.col("sum_phi_q"), F.lit(float(PHI4_SCALE)) * F.col("n_pred_cl"))
+        rec = _safe(F.col("sum_phi_q"), F.lit(float(PHI4_SCALE)) * F.col("n_gold_cl"))
+        return _eager(
+            tot.select(
+                F.lit("ceaf_phi4_star").alias("metric"),
+                F.col("sum_phi_q"),
+                prec.alias("precision"),
+                rec.alias("recall"),
+                F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4))
+                .otherwise(F.lit(0.0))
+                .alias("f1"),
+            )
+        )
+    finally:
+        p.unpersist()
+        g.unpersist()
+
+
+def conll_average_star(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """The full CoNLL coref average with the CEAF term supplied by the
+    star-reduction twin — every component cross-engine exact, so the
+    reference's published number ('conll_coref_f1', dygie/models/
+    coref.py:15-16) finally gets a hash-green oracle row (the generic-DP
+    `conll_average` stays as the rows-only quality path). Same integer-mean
+    recipe as conll_average_no_ceaf: each 4-decimal F1 requantizes to 1e-4
+    units and the mean is one IEEE division of exact integers."""
+    rows = {
+        r["metric"]: r["f1"] for r in conll_coref_metrics(pred, gold).collect()
+    }
+    ceaf = ceaf_phi4_star_quantized(pred, gold).collect()[0]["f1"]
+    muc_q = round(rows["muc"] * 10_000)
+    b3_q = round(rows["b3"] * 10_000)
+    ceaf_q = round(ceaf * 10_000)
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                (muc_q + b3_q + ceaf_q) / 30_000.0,
+                float(rows["muc"]),
+                float(rows["b3"]),
+                float(ceaf),
+            )
+        ],
+        "conll_coref_f1_star double, muc_f1 double, b3_f1 double, ceaf_star_f1 double",
+    )
+
+
 def conll_average(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """The reference's published coref number: the unweighted mean of MUC,
     B³ and CEAFφ4 F1 (dygie/models/coref.py:15-16 'conll_coref_f1').

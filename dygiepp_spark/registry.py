@@ -956,6 +956,35 @@ def coref_conll_avg(spark, sf_dir):
         _cache.release_tracked()
 
 
+def ceaf_star_metrics(spark, sf_dir):
+    """F6 — CEAFφ4 via the star-component reduction (one gold cluster per
+    intersection component, provable for this engine's surface-form
+    clusterings), quantized-integer φ4 aggregation — the ORACLE-GATED CEAF
+    twin; the generic-DP `coref_ceaf_metrics` stays as the quality path
+    (brute-force pytest pin), and their agreement is itself pytest-pinned."""
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    try:
+        return metrics.ceaf_phi4_star_quantized(pred, gold)
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
+
+
+def coref_conll_avg_star(spark, sf_dir):
+    """F6 — the reference's published number (mean of MUC/B³/CEAFφ4 F1,
+    'conll_coref_f1', coref.py:15-16) with the CEAF term from the star
+    twin: the FULL CoNLL average, hash-exact across engines for the first
+    time (the generic-DP `coref_conll_avg` stays rows-only)."""
+    pred, gold = _pred_gold_clusters(spark, sf_dir)
+    try:
+        return metrics.conll_average_star(pred, gold)
+    finally:
+        pred.unpersist()
+        gold.unpersist()
+        _cache.release_tracked()
+
+
 def conll_avg_no_ceaf(spark, sf_dir):
     """F6 — the SQL-expressible part of the CoNLL average: mean of MUC and
     B³ F1 (CEAFφ4 stays pytest-pinned; its optimal assignment has no SQL
@@ -1247,6 +1276,41 @@ conll_f AS (
 )"""
 
 
+# CEAF under the star-component reduction (see metrics.ceaf_phi4_star_
+# quantized): one gold cluster per (conv, surface) means optimal
+# assignment = max-φ4 edge per gold cluster; φ4 terms quantize to 1e-6
+# integers BEFORE aggregation (the proven B³ recipe), so both engines sum
+# identical int64s.
+_CEAF_STAR_CTES = """,
+star AS (
+  SELECT conv_id, gc,
+         MAX(CAST(round(2000000.0 * i / (size_p + size_g)) AS BIGINT)) AS best_q
+  FROM iw GROUP BY 1, 2
+),
+ceaf_s AS (
+  SELECT COALESCE((SELECT SUM(best_q) FROM star), 0) AS sum_phi_q,
+         (SELECT COUNT(*) FROM psz) AS n_pred_cl,
+         (SELECT COUNT(*) FROM gsz) AS n_gold_cl
+),
+ceaf_row AS (
+  SELECT CAST(sum_phi_q AS BIGINT) AS sum_phi_q,
+         precision, recall,
+         CASE WHEN precision + recall > 0
+              THEN round(2 * precision * recall / (precision + recall), 4)
+              ELSE 0.0 END AS f1
+  FROM (
+    SELECT sum_phi_q,
+           CASE WHEN n_pred_cl > 0
+                THEN round(sum_phi_q / (1000000.0 * n_pred_cl), 4)
+                ELSE 0.0 END AS precision,
+           CASE WHEN n_gold_cl > 0
+                THEN round(sum_phi_q / (1000000.0 * n_gold_cl), 4)
+                ELSE 0.0 END AS recall
+    FROM ceaf_s
+  )
+)"""
+
+
 _SQL.update(
     {
         "gold_align_coref": q(
@@ -1521,6 +1585,25 @@ FROM c"""
                max(CASE WHEN metric = 'b3' THEN f1 END) AS b3_f1
         FROM conll_f WHERE metric IN ('muc', 'b3')"""
         ),
+        "ceaf_star_metrics": q(
+            _CONLL_CTES
+            + _CEAF_STAR_CTES
+            + """
+        SELECT 'ceaf_phi4_star' AS metric, sum_phi_q, precision, recall, f1
+        FROM ceaf_row"""
+        ),
+        "coref_conll_avg_star": q(
+            _CONLL_CTES
+            + _CEAF_STAR_CTES
+            + """
+        SELECT (round(10000 * (SELECT max(CASE WHEN metric = 'muc' THEN f1 END) FROM conll_f))
+              + round(10000 * (SELECT max(CASE WHEN metric = 'b3' THEN f1 END) FROM conll_f))
+              + round(10000 * (SELECT f1 FROM ceaf_row))) / 30000.0
+                 AS conll_coref_f1_star,
+               (SELECT max(CASE WHEN metric = 'muc' THEN f1 END) FROM conll_f) AS muc_f1,
+               (SELECT max(CASE WHEN metric = 'b3' THEN f1 END) FROM conll_f) AS b3_f1,
+               (SELECT f1 FROM ceaf_row) AS ceaf_star_f1"""
+        ),
         "pair_features": q(
             f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
                CAST(trigger_ix AS {_B}) AS trigger_ix,
@@ -1562,6 +1645,10 @@ QUERIES: dict[str, QuerySpec] = {
     "coref_conll_metrics": QuerySpec(coref_conll_metrics, _SQL["coref_conll_metrics"]),
     "coref_ceaf_metrics": QuerySpec(coref_ceaf_metrics, None),
     "coref_conll_avg": QuerySpec(coref_conll_avg, None),
+    "ceaf_star_metrics": QuerySpec(ceaf_star_metrics, _SQL["ceaf_star_metrics"]),
+    "coref_conll_avg_star": QuerySpec(
+        coref_conll_avg_star, _SQL["coref_conll_avg_star"]
+    ),
     "conll_avg_no_ceaf": QuerySpec(conll_avg_no_ceaf, _SQL["conll_avg_no_ceaf"]),
     "exact_dedup": QuerySpec(exact_dedup, _c.EXACT_DEDUP_SQL),
     "minhash_signatures": QuerySpec(minhash_signatures, _c.MINHASH_SIG_SQL),
@@ -1636,7 +1723,9 @@ QUERIES: dict[str, QuerySpec] = {
 #   no-oracle specs. scripts/check_gate.py runs the tail locally each
 #   round so no query is ever unverified.
 _ROTATED_TAIL = [
-    # oracle-gated, driver-green r01+r02 (+judge local r03), operator unchanged
+    # oracle-gated, driver-green in ≥2 rounds, operator unchanged this round
+    "doc_assembly_offsets",
+    "span_enum_counts",
     "binary_metadata",
     "gold_align_relations",
     "gold_align_events",

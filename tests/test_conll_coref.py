@@ -260,3 +260,30 @@ def test_wide_component_report_matches_ceaf_flag(spark):
         ).count()
         == 0
     )
+
+
+def test_ceaf_star_matches_generic_dp(spark):
+    """The star-reduction CEAF (oracle-gated twin) must agree with the
+    generic bitmask-DP CEAF on the engine's own clusterings — the reduction
+    is provably exact there (one gold cluster per intersection component),
+    so any drift beyond φ4-quantization error is a bug. Also pins the full
+    star CoNLL average against the generic conll_average."""
+    from dygiepp_spark.operators import metrics
+
+    t = synth_turns(spark, n_convs=12, seed=9)
+    gold = coref.clusters_via_components(t)
+    pred = coref.clusters_via_components(t, max_gap=10)
+
+    star = metrics.ceaf_phi4_star_quantized(pred, gold).collect()[0]
+    dp = metrics.ceaf_phi4_metrics(pred, gold).collect()[0]
+    assert dp["wide_components"] == 0  # reduction precondition holds
+    for fld in ("precision", "recall", "f1"):
+        assert abs(star[fld] - dp[fld]) <= 2e-4, (fld, star[fld], dp[fld])
+    assert star["sum_phi_q"] > 0
+
+    avg_star = metrics.conll_average_star(pred, gold).collect()[0]
+    avg_dp = metrics.conll_average(pred, gold).collect()[0]
+    assert abs(avg_star["conll_coref_f1_star"] - avg_dp["conll_coref_f1"]) <= 2e-4
+    from dygiepp_spark.plans import cache
+
+    cache.release_tracked()
