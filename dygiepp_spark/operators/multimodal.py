@@ -88,6 +88,27 @@ def decode_features(
     )
 
 
+def decode_check(media: DataFrame) -> DataFrame:
+    """Scalar evidence over the DECODE OUTPUT, for the oracle gate: the
+    rows-only `multimodal_decode` query emits array<float> features (not
+    portable through the gate's value hash), so this twin re-derives
+    hash-exact integers FROM the mapInPandas decode itself — width, height,
+    and each feature quantized as round(1e6·f). The stand-in decode is
+    byte arithmetic (f_i = byte_i/255 as float32), which DuckDB replicates
+    from hex digits of the utf-8 payload — so a wrong batch shape, byte
+    order, or padding bug in the UDF breaks the hash. The production
+    (fake=False) decoder keeps only the rows-only check, as real media
+    decoding has no SQL twin."""
+    feats = decode_features(media)
+    qcols = [
+        F.round(F.lit(1_000_000.0) * F.col("features")[i])
+        .cast("bigint")
+        .alias(f"f{i}_q")
+        for i in range(_FEATURE_DIM)
+    ]
+    return feats.select("doc_id", "width", "height", *qcols)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 32, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled 'frame' (byte
     window stand-in). Shows the 1→N mapInPandas fan-out shape used for

@@ -290,6 +290,37 @@ BINARY_METADATA_SQL = f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
        {_H_TEXT} AS checksum
 FROM documents"""
 
+# multimodal decode check (multimodal.decode_check): the stand-in decode is
+# byte arithmetic — f_i = float32(byte_i / 255), width/height from byte
+# length — so DuckDB re-derives the exact integers from hex digits of the
+# utf-8 payload. float32(b/255) is identical in both engines (one correctly
+# rounded double divide + one f32 cast), so round(1e6·f) matches bit-exact.
+_HEXDIG = "0123456789ABCDEF"
+
+
+def _byte_q(i: int) -> str:
+    """Quantized feature for 0-indexed byte i, 0 when the payload is shorter."""
+    hi = f"(strpos('{_HEXDIG}', substr(hx, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('{_HEXDIG}', substr(hx, {2 * i + 2}, 1)) - 1)"
+    return (
+        f"CASE WHEN n_bytes >= {i + 1} THEN "
+        f"CAST(round(1000000 * CAST((16 * {hi} + {lo}) / 255.0 AS FLOAT)) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END AS f{i}_q"
+    )
+
+
+MULTIMODAL_CHECK_SQL = f"""WITH payloads AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         upper(hex(encode(text))) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       n_bytes % 64 + 1 AS width,
+       n_bytes % 48 + 1 AS height,
+       {', '.join(_byte_q(i) for i in range(8))}
+FROM payloads"""
+
 EXACT_DEDUP_SQL = f"""WITH hashed AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_H_TEXT} AS text_hash FROM documents
 )

@@ -1131,6 +1131,19 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
+def multimodal_decode_check(spark, sf_dir):
+    """Oracle-gated evidence over the multimodal DECODE OUTPUT: width,
+    height and all 8 features quantized to integers, computed from the
+    mapInPandas stand-in decode on the Spark side and from payload hex
+    digits in DuckDB (multimodal.decode_check). The array-output
+    `multimodal_decode` stays rows-only; this twin hash-pins the UDF's
+    batch shape, byte order and zero-padding."""
+    from dygiepp_spark.operators import multimodal
+
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.decode_check(media)
+
+
 def embedding_ivf_topk(spark, sf_dir):
     """IVF ANN (integer k-means coarse quantizer, nprobe list search);
     rows-only check — the iterative Lloyd assignment isn't one SQL query.
@@ -1669,6 +1682,9 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": QuerySpec(doc_fingerprints, _c.FINGERPRINT_SQL),
     "binary_metadata": QuerySpec(binary_metadata, _c.BINARY_METADATA_SQL),
     "multimodal_decode": QuerySpec(multimodal_decode, None),
+    "multimodal_decode_check": QuerySpec(
+        multimodal_decode_check, _c.MULTIMODAL_CHECK_SQL
+    ),
     "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, _c.EMBED_COSINE_SQL),
     "embedding_cosine_float": QuerySpec(embedding_cosine_float, None),
     "embedding_ivf_topk": QuerySpec(embedding_ivf_topk, None),
@@ -1724,9 +1740,11 @@ QUERIES: dict[str, QuerySpec] = {
 #   round so no query is ever unverified.
 _ROTATED_TAIL = [
     # oracle-gated, driver-green in ≥2 rounds, operator unchanged this round
+    # (binary_metadata returned to the window: multimodal.py changed)
     "doc_assembly_offsets",
     "span_enum_counts",
-    "binary_metadata",
+    "length_guard",
+    "doc_split",
     "gold_align_relations",
     "gold_align_events",
     "pair_features",

@@ -286,3 +286,24 @@ def test_near_dup_overflow_guard_raises(spark):
     from dygiepp_spark.plans import cache
 
     cache.release_tracked()
+
+
+def test_multimodal_decode_check_matches_python(spark, docs):
+    """The gated decode-check twin must equal a from-scratch python
+    recomputation of the stand-in decode (byte/255 as float32, 1e6
+    quantization, zero-padding for short payloads) — so the gate hash
+    really pins the UDF's batch shape and byte order."""
+    import numpy as np
+
+    sample = docs.limit(20)
+    media = multimodal.attach_binary(sample)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], tuple(r[f"f{i}_q"] for i in range(8)))
+        for r in multimodal.decode_check(media).collect()
+    }
+    for r in sample.collect():
+        b = r["text"].encode("utf-8")
+        feats = [0] * 8
+        for i, by in enumerate(b[:8]):
+            feats[i] = round(1_000_000 * float(np.float32(by / 255.0)))
+        assert got[r["doc_id"]] == (len(b) % 64 + 1, len(b) % 48 + 1, tuple(feats))
