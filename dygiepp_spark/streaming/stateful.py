@@ -117,12 +117,17 @@ REORDER_STATE_SCHEMA = "next_idx int, buffered string, max_ts long"
 
 
 def _emit_reorder(conv_id: str, rows: list[tuple[int, str, int]]) -> pd.DataFrame:
+    # t_us == 0 marks a null input ts (buffered as 0): re-emit NaT/NULL
+    # rather than fabricating epoch-0, which would poison the downstream
+    # watermark
     return pd.DataFrame(
         {
             "conv_id": [conv_id] * len(rows),
             "turn_idx": [k for k, _, _ in rows],
             "text": [v for _, v, _ in rows],
-            "ts": pd.to_datetime([t for _, _, t in rows], unit="us"),
+            "ts": pd.to_datetime(
+                [t if t != 0 else None for _, _, t in rows], unit="us"
+            ),
         }
     )
 

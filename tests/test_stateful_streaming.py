@@ -238,13 +238,16 @@ def test_reorder_turns_restores_true_order(spark, fast_state):
         drain_available_now(
             q, lambda: spark.sql("select count(*) from reordered").head()[0]
         )
+        # ts included: the buffer serializes timestamps through epoch-micros
+        # JSON, and a silent shift would skew downstream event-time
+        # watermarks — the round trip must be exact
         got = {
-            (r["conv_id"], r["turn_idx"], r["text"])
+            (r["conv_id"], r["turn_idx"], r["text"], r["ts"])
             for r in spark.sql("select * from reordered").collect()
         }
         want = {
-            (r["conv_id"], r["turn_idx"], r["text"])
-            for r in turns.select("conv_id", "turn_idx", "text").collect()
+            (r["conv_id"], r["turn_idx"], r["text"], r["ts"])
+            for r in turns.select("conv_id", "turn_idx", "text", "ts").collect()
         }
         assert got == want and len(want) > 0
     finally:
