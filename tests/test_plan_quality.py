@@ -154,3 +154,17 @@ def test_ivf_fixed_single_scan_no_corpus_window(spark):
         l for l in plan.splitlines() if re.match(r"^\(\d+\) Window(Exec)?\s*$", l.strip())
     ]
     assert len(windows) <= 1, windows
+
+
+def test_lang_id_single_corpus_scan(spark):
+    """The exploded (doc_id, actual_lang, bigram) table persists and feeds
+    profile-building AND scoring, with actual_lang carried through the
+    groupBy instead of a join back to documents: exactly ONE parquet scan
+    (the r4 rewrite removed 2 of 3 scans and the second bigram explode)."""
+    plan = _plan(spark, "lang_id_predict")
+    scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    assert scans == 1, f"{scans} parquet scans"
+    assert "InMemoryTableScan" in plan
