@@ -52,3 +52,42 @@ def overwrite_stage_partitions(df: DataFrame, table: str) -> None:
     overwrite with snapshot isolation (plans/checkpoint.py's parquet
     `partitionBy(...).mode("overwrite")` maps to exactly this)."""
     df.writeTo(table).overwritePartitions()
+
+
+def read_turns_table(spark: SparkSession, table: str = "kg.db.turns") -> DataFrame:
+    """Read the Iceberg turns table — the production counterpart of
+    tables.read_turns. Bucket metadata makes conv_id-keyed joins and
+    groupBys storage-partitioned (no shuffle on the big side when
+    `spark.sql.sources.v2.bucketing.enabled` is set). Raises the same
+    clear error as the write path when the runtime jar is absent."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; ship with --packages "
+            "iceberg-spark-runtime and set ICEBERG_CONFS on the session"
+        )
+    return spark.read.table(table)
+
+
+def merge_canonical_triples(
+    spark: SparkSession, updates_view: str, table: str = "kg.db.triples"
+) -> None:
+    """Incremental triple-store maintenance as an Iceberg MERGE: new
+    canonical triples upsert by (subj, pred, obj), accumulating support
+    counts — the lakehouse form of the batch `canonical_triples` dedup
+    aggregation, for streaming/foreachBatch appenders that must not rewrite
+    the whole table. Snapshot isolation makes the merge retry-safe (the
+    parquet path's idempotence analogue is the batch_id dynamic
+    overwrite, streaming/ingest.py)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; ship with --packages "
+            "iceberg-spark-runtime and set ICEBERG_CONFS on the session"
+        )
+    spark.sql(
+        f"""MERGE INTO {table} t
+        USING {updates_view} u
+        ON t.subj_canonical = u.subj_canonical AND t.pred = u.pred
+           AND t.obj_canonical = u.obj_canonical
+        WHEN MATCHED THEN UPDATE SET t.n_support = t.n_support + u.n_support
+        WHEN NOT MATCHED THEN INSERT *"""
+    )

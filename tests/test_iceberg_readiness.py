@@ -17,3 +17,15 @@ def test_write_raises_cleanly_without_runtime(spark):
         pytest.skip("iceberg present; write path exercised in deployment")
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         iceberg.write_turns_table(turns)
+
+
+def test_read_and_merge_raise_cleanly_without_runtime(spark):
+    """The read and MERGE paths carry the same availability gate as the
+    write path — a deployment missing the jar fails with the actionable
+    message, never a ClassNotFound stack."""
+    if iceberg.iceberg_available(spark):
+        pytest.skip("iceberg present; paths exercised in deployment")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        iceberg.read_turns_table(spark)
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        iceberg.merge_canonical_triples(spark, "updates")

@@ -301,6 +301,19 @@ def test_reorder_buffers_gaps_and_flushes_on_timeout():
     out2 = pd.concat(list(_reorder_group(("c",), iter([pdf2]), st)))
     assert list(out2["turn_idx"]) == [1, 2]
 
+    # event-time arm math: with event times present, the timeout must sit
+    # at (newest event seen) + gap — never wall-clock-relative
+    from dygiepp_spark.streaming.stateful import DEFAULT_GAP_MS
+
+    st_ts = FakeState()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf3 = pd.DataFrame(
+        {"turn_idx": [0, 2], "text": ["t0", "t2"], "ts": [base, base + pd.Timedelta(seconds=5)]}
+    )
+    pd.concat(list(_reorder_group(("c2",), iter([pdf3]), st_ts)))
+    want_ms = int((base + pd.Timedelta(seconds=5)).value // 1_000_000) + DEFAULT_GAP_MS
+    assert st_ts.timeout_ts == want_ms
+
     # timeout with a still-missing gap: drain buffer in order, drop state
     st3 = FakeState((5, '{"7": ["t7", 0], "6": ["t6", 0]}', 0))
     st3.hasTimedOut = True
