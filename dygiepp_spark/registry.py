@@ -758,9 +758,16 @@ def pair_features(spark, sf_dir):
 
 def coref_propagation(spark, sf_dir):
     """D10 — one iteration of coref score propagation along antecedent
-    edges (coref.py:114-157; gate f = 1/2 stand-in)."""
+    edges (coref.py:114-157; gate f = 1/2 stand-in). The mention table
+    feeds the edge derivation AND both propagation branches — persisted
+    (tracked) so the extraction lineage runs once, not six times
+    (r4 scan audit: 6 parquet scans unpersisted → 1)."""
+    from pyspark import StorageLevel
+
     t = _turns(spark, sf_dir)
-    mentions = coref.coref_mentions(t)
+    mentions = _cache.track(
+        coref.coref_mentions(t).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges = coref.antecedent_edges(mentions)
     out = coref.propagate_scores(mentions, edges, iterations=1)
     return _longs(out.select("conv_id", "turn_idx", "start", "doc_pos", "raw_score"))
@@ -1749,7 +1756,7 @@ _ROTATED_TAIL = [
     "gold_align_events",
     "pair_features",
     "collate_assignment",
-    "coref_propagation",
+    "token_normalize",
     "mention_label_rollup",
     "corpus_stats",
     "token_counts",
