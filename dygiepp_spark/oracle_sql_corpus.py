@@ -302,9 +302,13 @@ def _byte_q(i: int) -> str:
     """Quantized feature for 0-indexed byte i, 0 when the payload is shorter."""
     hi = f"(strpos('{_HEXDIG}', substr(hx, {2 * i + 1}, 1)) - 1)"
     lo = f"(strpos('{_HEXDIG}', substr(hx, {2 * i + 2}, 1)) - 1)"
+    # the f32 feature must promote to DOUBLE before the 1e6 multiply:
+    # DuckDB keeps FLOAT*INT in float32, whose ~0.06 ulp at 1e6 flips
+    # round() on half-boundary bytes (0xF0 did), while Spark promotes
+    # float→double — caught by the unicode cross-engine pytest
     return (
         f"CASE WHEN n_bytes >= {i + 1} THEN "
-        f"CAST(round(1000000 * CAST((16 * {hi} + {lo}) / 255.0 AS FLOAT)) AS BIGINT) "
+        f"CAST(round(1000000 * CAST(CAST((16 * {hi} + {lo}) / 255.0 AS FLOAT) AS DOUBLE)) AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END AS f{i}_q"
     )
 

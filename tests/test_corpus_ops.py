@@ -307,3 +307,38 @@ def test_multimodal_decode_check_matches_python(spark, docs):
         for i, by in enumerate(b[:8]):
             feats[i] = round(1_000_000 * float(np.float32(by / 255.0)))
         assert got[r["doc_id"]] == (len(b) % 64 + 1, len(b) % 48 + 1, tuple(feats))
+
+
+def test_multimodal_decode_check_unicode_cross_engine(spark):
+    """The hex-digit byte oracle must track UTF-8 BYTES, not characters —
+    pinned cross-engine on adversarial texts (multi-byte chars, emoji,
+    empty, exactly-7-bytes) that the synthetic corpus never produces."""
+    import duckdb
+    import pandas as pd
+
+    texts = ["héllo wörld", "日本語テキスト", "🚀x", "", "1234567", "a" * 200]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    media = multimodal.attach_binary(sdf)
+    got = (
+        multimodal.decode_check(media)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from dygiepp_spark.oracle_sql_corpus import MULTIMODAL_CHECK_SQL
+
+    want = (
+        con.execute(MULTIMODAL_CHECK_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    cols = sorted(got.columns)
+    assert got[cols].astype("int64").equals(want[cols].astype("int64"))
+    # sanity vs python ground truth on the emoji row (4-byte UTF-8 head)
+    import numpy as np
+
+    b = "🚀x".encode("utf-8")
+    row = got[got["doc_id"] == 2].iloc[0]
+    assert row["width"] == len(b) % 64 + 1
+    assert row["f0_q"] == round(1_000_000 * float(np.float32(b[0] / 255.0)))
