@@ -210,6 +210,69 @@ FROM (
 )
 WHERE rn <= 3"""
 
+# k-means IVF (similarity.ivf_topk): the 2-iteration Lloyd loop UNROLLED —
+# seeds are the 16 lowest vec_ids, each iteration is an argmax assignment
+# (ties → lowest list_id) plus a floor-of-mean integer centroid update, so
+# the whole quantizer is deterministic int64/IEEE-exact algebra. Mirrors
+# the Spark operator exactly: the search probes the FINAL centroids
+# (post-update) while corpus lists carry the LAST assignment.
+def _lloyd_iter(i: int) -> str:
+    prev = "cents0" if i == 1 else f"cents{i - 1}"
+    return f""",
+scored{i} AS (
+  SELECT q.vec_id, c.list_id,
+         CAST(list_dot_product(q.qv, c.cv) AS BIGINT) AS cdot
+  FROM q CROSS JOIN {prev} c
+),
+assign{i} AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+    FROM scored{i}) WHERE rn = 1
+),
+cents{i} AS (
+  SELECT list_id, list(m ORDER BY d) AS cv FROM (
+    SELECT a.list_id, dims.d, CAST(floor(avg(dims.val)) AS BIGINT) AS m
+    FROM assign{i} a
+    JOIN q ON q.vec_id = a.vec_id,
+    LATERAL (SELECT unnest(q.qv) AS val,
+                    generate_subscripts(q.qv, 1) AS d) dims
+    GROUP BY a.list_id, dims.d
+  ) GROUP BY list_id
+)"""
+
+
+EMBED_IVF_KMEANS_SQL = f"""WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS list_id, qv AS cv FROM q ORDER BY vec_id LIMIT 16
+){_lloyd_iter(1)}{_lloyd_iter(2)},
+probes AS (
+  SELECT vec_id AS qid, list_id FROM (
+    SELECT q.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_dot_product(q.qv, c.cv) AS BIGINT) DESC,
+                      c.list_id) AS rn
+    FROM q CROSS JOIN cents2 c WHERE q.vec_id < 32) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.qid, a.vec_id AS nid,
+         CAST(list_dot_product(qq.qv, nq.qv) AS BIGINT) AS dot
+  FROM probes p
+  JOIN assign2 a ON a.list_id = p.list_id
+  JOIN q nq ON nq.vec_id = a.vec_id
+  JOIN q qq ON qq.vec_id = p.qid
+  WHERE a.vec_id != p.qid
+)
+SELECT qid AS vec_id, CAST(rn AS BIGINT) AS rank, nid AS neighbor_id, dot
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+  FROM cand
+)
+WHERE rn <= 3"""
+
 EMBED_BUCKETS_SQL = f"""WITH q AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings
 )

@@ -1152,9 +1152,11 @@ def multimodal_decode_check(spark, sf_dir):
 
 
 def embedding_ivf_topk(spark, sf_dir):
-    """IVF ANN (integer k-means coarse quantizer, nprobe list search);
-    rows-only check — the iterative Lloyd assignment isn't one SQL query.
-    Recall vs brute force pinned by pytest."""
+    """IVF ANN (integer k-means coarse quantizer, nprobe list search) —
+    ORACLE-GATED since r4: the fixed-depth Lloyd loop is deterministic
+    int64/IEEE-exact algebra (argmax assignment, floor-of-mean centroid
+    update), so DuckDB replicates it with the 2 iterations unrolled as
+    CTEs. Recall vs brute force stays pinned by pytest."""
     from dygiepp_spark.operators import similarity
 
     return similarity.ivf_topk(_emb(spark, sf_dir), k=3, n_lists=16, nprobe=4, n_queries=32)
@@ -1694,7 +1696,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, _c.EMBED_COSINE_SQL),
     "embedding_cosine_float": QuerySpec(embedding_cosine_float, None),
-    "embedding_ivf_topk": QuerySpec(embedding_ivf_topk, None),
+    "embedding_ivf_topk": QuerySpec(embedding_ivf_topk, _c.EMBED_IVF_KMEANS_SQL),
     "embedding_ivf_fixed": QuerySpec(embedding_ivf_fixed, _c.EMBED_IVF_FIXED_SQL),
     "doc_assembly_offsets": QuerySpec(doc_assembly_offsets, _SQL["doc_assembly_offsets"]),
     "turns_roundtrip": QuerySpec(turns_roundtrip, _SQL["turns_roundtrip"]),
@@ -1763,12 +1765,12 @@ _ROTATED_TAIL = [
     "doc_fingerprints",
     "span_enum",
     "turns_roundtrip",
+    "uncollate_roundtrip",
     # no-oracle specs (pytest-pinned; see COVERAGE.md for each pin)
     "coref_ceaf_metrics",
     "coref_conll_avg",
     "multimodal_decode",
     "embedding_cosine_float",
-    "embedding_ivf_topk",
 ]
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _ROTATED_TAIL},
