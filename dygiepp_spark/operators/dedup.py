@@ -171,13 +171,22 @@ def lsh_bucket_stats(shingles: DataFrame, max_bucket: int = 64) -> DataFrame:
     per_bucket = bands.groupBy("band_ix", "band_hash").agg(
         F.count(F.lit(1)).cast("bigint").alias("bucket_size")
     )
+    # drop counters coalesce to 0 on an empty corpus (SUM over nothing is
+    # NULL; "0 dropped" is the observability contract — empty-sweep pin)
     return per_bucket.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_dropped_buckets"),
-        F.sum(
-            F.when(F.col("bucket_size") > max_bucket, F.col("bucket_size")).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("bucket_size") > max_bucket, F.col("bucket_size")
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_dropped_rows"),

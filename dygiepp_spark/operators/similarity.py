@@ -542,13 +542,24 @@ def embedding_bucket_stats(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_size"))
     )
+    # coalesce the drop counters: on an EMPTY corpus SUM is NULL, but the
+    # observability contract is "0 dropped", matching the DuckDB twin
+    # (caught by the empty-input cross-engine sweep). max stays NULL-able
+    # (max of nothing has no meaningful zero).
     return per_bucket.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("bucket_size") > max_bucket, 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_dropped_buckets"),
-        F.sum(
-            F.when(F.col("bucket_size") > max_bucket, F.col("bucket_size")).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("bucket_size") > max_bucket, F.col("bucket_size")
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_dropped_rows"),

@@ -402,8 +402,8 @@ LSH_PAIRS_SQL = f"WITH {SHINGLES_CTE.strip()}\nSELECT doc_a, doc_b FROM cand"
 
 LSH_BUCKET_STATS_SQL = f"""WITH {SHINGLES_CTE.strip()}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       CAST(SUM(CASE WHEN bucket_size > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
-       CAST(SUM(CASE WHEN bucket_size > 64 THEN bucket_size ELSE 0 END) AS BIGINT) AS n_dropped_rows,
+       CAST(COALESCE(SUM(CASE WHEN bucket_size > 64 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_buckets,
+       CAST(COALESCE(SUM(CASE WHEN bucket_size > 64 THEN bucket_size ELSE 0 END), 0) AS BIGINT) AS n_dropped_rows,
        CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
 FROM (
   SELECT band_ix, band_hash, COUNT(*) AS bucket_size

@@ -506,10 +506,12 @@ _SQL: dict[str, str] = {
         )
         SELECT 'transcripts' AS dataset, 'ner' AS task,
                n_pred, n_gold, n_matched,
-               round(n_matched / n_pred, 4) AS precision,
-               round(n_matched / n_gold, 4) AS recall,
-               round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
-                     / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+               CASE WHEN n_pred > 0 THEN round(n_matched / n_pred, 4) ELSE 0.0 END AS precision,
+               CASE WHEN n_gold > 0 THEN round(n_matched / n_gold, 4) ELSE 0.0 END AS recall,
+               CASE WHEN n_matched > 0
+                    THEN round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                               / ((n_matched / n_pred) + (n_matched / n_gold)), 4)
+                    ELSE 0.0 END AS f1
         FROM c"""
     ),
     "relation_metrics": q(
@@ -527,10 +529,12 @@ _SQL: dict[str, str] = {
         )
         SELECT 'transcripts' AS dataset, 'relation' AS task,
                n_pred, n_gold, n_matched,
-               round(n_matched / n_pred, 4) AS precision,
-               round(n_matched / n_gold, 4) AS recall,
-               round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
-                     / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+               CASE WHEN n_pred > 0 THEN round(n_matched / n_pred, 4) ELSE 0.0 END AS precision,
+               CASE WHEN n_gold > 0 THEN round(n_matched / n_gold, 4) ELSE 0.0 END AS recall,
+               CASE WHEN n_matched > 0
+                    THEN round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                               / ((n_matched / n_pred) + (n_matched / n_gold)), 4)
+                    ELSE 0.0 END AS f1
         FROM c"""
     ),
     "antecedent_stats": q(
@@ -1213,10 +1217,12 @@ c AS (SELECT (SELECT COUNT(*) FROM p) AS n_pred,
              (SELECT COUNT(*) FROM g) AS n_gold,
              (SELECT COUNT(*) FROM m) AS n_matched)
 SELECT 'transcripts' AS dataset, '{task}' AS task, n_pred, n_gold, n_matched,
-       round(n_matched / n_pred, 4) AS precision,
-       round(n_matched / n_gold, 4) AS recall,
-       round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
-             / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+       CASE WHEN n_pred > 0 THEN round(n_matched / n_pred, 4) ELSE 0.0 END AS precision,
+       CASE WHEN n_gold > 0 THEN round(n_matched / n_gold, 4) ELSE 0.0 END AS recall,
+       CASE WHEN n_matched > 0
+            THEN round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                       / ((n_matched / n_pred) + (n_matched / n_gold)), 4)
+            ELSE 0.0 END AS f1
 FROM c"""
 
 
@@ -1392,10 +1398,12 @@ c AS (
          (SELECT COUNT(*) FROM m2)
 )
 SELECT 'transcripts' AS dataset, task, n_pred, n_gold, n_matched,
-       round(n_matched / n_pred, 4) AS precision,
-       round(n_matched / n_gold, 4) AS recall,
-       round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
-             / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+       CASE WHEN n_pred > 0 THEN round(n_matched / n_pred, 4) ELSE 0.0 END AS precision,
+       CASE WHEN n_gold > 0 THEN round(n_matched / n_gold, 4) ELSE 0.0 END AS recall,
+       CASE WHEN n_matched > 0
+            THEN round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                       / ((n_matched / n_pred) + (n_matched / n_gold)), 4)
+            ELSE 0.0 END AS f1
 FROM c"""
         ),
         "argument_metrics": q(
@@ -1521,12 +1529,18 @@ FROM c"""
         GROUP BY conv_id"""
         ),
         "mention_label_rollup": q(
+            # HAVING COUNT(*) > 0 is a no-op on any non-empty corpus (every
+            # rollup row aggregates ≥1 mention) and equalizes the engines'
+            # empty-input semantics: standard SQL ROLLUP emits a 0-count
+            # grand-total row on empty input (DuckDB does), Spark emits no
+            # rows — pinned by the empty-sweep pytest
             f"""SELECT CASE WHEN CAST(conv_id AS {_B}) % 2 = 0 THEN 'even' ELSE 'odd' END AS route,
                label, COUNT(*) AS n_mentions
         FROM singles
         GROUP BY ROLLUP (
           CASE WHEN CAST(conv_id AS {_B}) % 2 = 0 THEN 'even' ELSE 'odd' END,
-          label)"""
+          label)
+        HAVING COUNT(*) > 0"""
         ),
         "corpus_stats": q(
             f"""SELECT COUNT(*) AS n_turns,
@@ -1584,10 +1598,12 @@ FROM c"""
                      (SELECT COUNT(*) FROM m) AS n_matched)
         SELECT 'transcripts' AS dataset, 'coref_pairs' AS task,
                n_pred, n_gold, n_matched,
-               round(n_matched / n_pred, 4) AS precision,
-               round(n_matched / n_gold, 4) AS recall,
-               round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
-                     / ((n_matched / n_pred) + (n_matched / n_gold)), 4) AS f1
+               CASE WHEN n_pred > 0 THEN round(n_matched / n_pred, 4) ELSE 0.0 END AS precision,
+               CASE WHEN n_gold > 0 THEN round(n_matched / n_gold, 4) ELSE 0.0 END AS recall,
+               CASE WHEN n_matched > 0
+                    THEN round(2.0 * (n_matched / n_pred) * (n_matched / n_gold)
+                               / ((n_matched / n_pred) + (n_matched / n_gold)), 4)
+                    ELSE 0.0 END AS f1
         FROM c"""
         ),
         "coref_conll_metrics": q(
@@ -1758,8 +1774,8 @@ _ROTATED_TAIL = [
     "gold_align_events",
     "pair_features",
     "collate_assignment",
+    "collate_budget",
     "token_normalize",
-    "mention_label_rollup",
     "corpus_stats",
     "token_counts",
     "doc_fingerprints",
