@@ -388,6 +388,37 @@ SELECT doc_id,
        {', '.join(_byte_q(i) for i in range(8))}
 FROM payloads"""
 
+# frame-sample fan-out (multimodal.frame_sample): one row per 32-byte
+# 'frame' window; mean_byte is one IEEE division of exact integers (byte
+# sum from hex digits / frame length), portable without quantization.
+_FRAME_BYTES = 32
+_BYTE_AT = (
+    f"(16 * (strpos('{_HEXDIG}', substr(hx, 2 * CAST(i AS INT) + 1, 1)) - 1)"
+    f" + (strpos('{_HEXDIG}', substr(hx, 2 * CAST(i AS INT) + 2, 1)) - 1))"
+)
+
+FRAME_SAMPLE_SQL = f"""WITH payloads AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         upper(hex(encode(text))) AS hx
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, n, hx, CAST(t.f AS BIGINT) AS frame_ix,
+         CAST(t.f * {_FRAME_BYTES} AS BIGINT) AS off,
+         CAST(least({_FRAME_BYTES}, n - t.f * {_FRAME_BYTES}) AS BIGINT) AS n_bytes
+  FROM payloads,
+  LATERAL unnest(generate_series(0,
+      CAST(ceil(n / {_FRAME_BYTES}.0) - 1 AS BIGINT))) AS t(f)
+)
+SELECT doc_id, frame_ix, n_bytes,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(off, off + n_bytes - 1),
+                               i -> CAST({_BYTE_AT} AS BIGINT))),
+              (acc, x) -> acc + x) AS DOUBLE) / n_bytes AS mean_byte
+FROM frames"""
+
 EXACT_DEDUP_SQL = f"""WITH hashed AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_H_TEXT} AS text_hash FROM documents
 )

@@ -1155,6 +1155,18 @@ def multimodal_decode_check(spark, sf_dir):
     return multimodal.decode_check(media)
 
 
+def frame_sample_check(spark, sf_dir):
+    """Oracle-gated frame fan-out: the 1→N mapInPandas shape used for
+    video frame extraction, evidenced end-to-end — every frame row from
+    the UDF (index, window length, mean byte) must hash-match DuckDB's
+    hex-digit byte replay. mean_byte is one IEEE division of identical
+    integers, so no quantization is needed."""
+    from dygiepp_spark.operators import multimodal
+
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n_bytes=32)
+
+
 def embedding_ivf_topk(spark, sf_dir):
     """IVF ANN (integer k-means coarse quantizer, nprobe list search) —
     ORACLE-GATED since r4: the fixed-depth Lloyd loop is deterministic
@@ -1710,6 +1722,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode_check": QuerySpec(
         multimodal_decode_check, _c.MULTIMODAL_CHECK_SQL
     ),
+    "frame_sample_check": QuerySpec(frame_sample_check, _c.FRAME_SAMPLE_SQL),
     "embedding_cosine_topk": QuerySpec(embedding_cosine_topk, _c.EMBED_COSINE_SQL),
     "embedding_cosine_float": QuerySpec(embedding_cosine_float, None),
     "embedding_ivf_topk": QuerySpec(embedding_ivf_topk, _c.EMBED_IVF_KMEANS_SQL),
@@ -1776,6 +1789,7 @@ _ROTATED_TAIL = [
     "collate_assignment",
     "collate_budget",
     "token_normalize",
+    "span_locate",
     "corpus_stats",
     "token_counts",
     "doc_fingerprints",

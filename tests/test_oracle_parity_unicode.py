@@ -29,6 +29,7 @@ DOC_QUERIES = [
     "doc_fingerprints",
     "binary_metadata",
     "multimodal_decode_check",
+    "frame_sample_check",
 ]
 
 UNICODE_TEXTS = [
