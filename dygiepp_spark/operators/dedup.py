@@ -219,13 +219,40 @@ def jaccard_counts(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+# Measured crossover for the shingle/band persist (quiet host, 32 cores,
+# 3 reps each; re-recorded every round by bench.py near_dup_big /
+# near_dup_small): at est 1.7 MB (5k docs) the persist's materialization
+# job costs more than it saves (10.2 s vs 5.8 s — no-persist 1.8× faster);
+# at est 4.6 MB (20k docs) persist wins 2.1× (6.2 s vs 13.1 s), at 11.4 MB
+# (50k docs) 2.6×, at ~23 MB (100k docs) 2.7–5.4×, growing with corpus
+# size (the no-persist plan re-tokenizes the corpus once per branch — 8
+# scans). 4 MB sits inside the measured 1.7–4.6 MB crossover gap.
+PERSIST_AUTO_THRESHOLD_BYTES = 4 * 1024 * 1024
+
+
+def persist_decision(df: DataFrame, threshold_bytes: int = PERSIST_AUTO_THRESHOLD_BYTES) -> tuple[bool, int]:
+    """Decide whether a multi-branch consumer should persist its shared
+    input, from Catalyst's driver-side size estimate (file sizes for
+    parquet/Iceberg scans, accurate stats for cached inputs — no job is
+    triggered). Unknown/unestimable plans return the persist=True branch:
+    at production scale the persist is always right, and the only regime
+    where it loses is tiny inputs, which file-backed sources estimate
+    well."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — py4j/analysis failure → scale-safe default
+        return True, -1
+    # Catalyst's unknown-size sentinel is Long.MaxValue-ish; treat huge as big
+    return est >= threshold_bytes, est
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold_num: int = 1,
     threshold_den: int = 4,
-    persist_shingles: bool = True,
+    persist_shingles: bool | str = "auto",
 ) -> DataFrame:
     """MinHash-LSH candidates verified at Jaccard ≥ num/den (integer test:
     den·|∩| ≥ num·|∪|).
@@ -237,7 +264,15 @@ def near_dup_pairs(
     distinct pipeline for each branch (measured: 8 full corpus scans in
     the physical plan). Persisting is spill-safe (MEMORY_AND_DISK) and
     turns that into one scan + cache reads — the difference between
-    tokenizing 100 TB once and eight times."""
+    tokenizing 100 TB once and eight times.
+
+    ``persist_shingles="auto"`` (default, r4 VERDICT #5): both crossover
+    scales are measured every round, so the decision is encoded — persist
+    iff Catalyst's size estimate for ``docs`` exceeds
+    ``PERSIST_AUTO_THRESHOLD_BYTES`` (see `persist_decision`). Pass
+    True/False to override."""
+    if persist_shingles == "auto":
+        persist_shingles, _ = persist_decision(docs)
     sh = shingle_hashes(docs, id_col, text_col)
     if persist_shingles:
         from pyspark import StorageLevel

@@ -215,7 +215,7 @@ def test_near_dup_release_handle(spark):
     from dygiepp_spark.tables import load_table
 
     docs = load_table(spark, "documents", "/root/testdata/sf0.001")
-    out = dedup.near_dup_pairs(docs)
+    out = dedup.near_dup_pairs(docs, persist_shingles=True)
     n1 = out.count()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     assert cache.release_tracked() >= 2  # shingles + bands

@@ -91,14 +91,49 @@ def test_cosine_topk_broadcasts_queries(spark):
 
 def test_near_dup_single_corpus_scan(spark):
     """The shingle table feeds 5 branches; the persisted pipeline must read
-    the corpus ONCE and serve every branch from cache (was 8 full scans)."""
-    plan = _plan(spark, "near_dup_pairs")
+    the corpus ONCE and serve every branch from cache (was 8 full scans).
+    Forced persist=True here: this pins the SCALE plan (the branch auto
+    mode picks for any production-size input — see the auto tests below)."""
+    from dygiepp_spark.operators import dedup
+    from dygiepp_spark.plans import cache
+    from dygiepp_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    with cache.scoped():  # don't leak the cache mark into later plan tests
+        df = dedup.near_dup_pairs(docs, persist_shingles=True)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
     scans = sum(
         1 for line in plan.splitlines()
         if "Scan parquet" in line and line.strip().startswith("(")
     )
     assert scans == 1, f"{scans} parquet scans\n"
     assert "InMemoryTableScan" in plan
+
+
+def test_near_dup_auto_persist_decision(spark):
+    """`persist_shingles="auto"` (the default) must pick the measured
+    winner at each scale: no persist below the crossover (tiny parquet
+    inputs, where the materialization job dominates — bench near_dup_small
+    speedup 0.53×), persist above it (bench near_dup_big speedup 3.1×).
+    The threshold itself is exercised by shrinking it rather than
+    synthesizing a >4 MB corpus in the suite."""
+    from dygiepp_spark.operators import dedup
+    from dygiepp_spark.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    choice, est = dedup.persist_decision(docs)
+    assert est > 0  # parquet scans always carry a file-size estimate
+    assert choice is False  # sf0.001 is far below the measured crossover
+    # same estimate, production-side of the threshold → persist
+    choice_big, est2 = dedup.persist_decision(docs, threshold_bytes=est)
+    assert (choice_big, est2) == (True, est)
+    # the default plan at tiny scale is the 8-scan no-persist plan: cheaper
+    # end-to-end than materializing the cache (measured), and auto must
+    # actually produce it
+    plan = _plan(spark, "near_dup_pairs")
+    assert "InMemoryTableScan" not in plan
 
 
 def test_embedding_near_dup_single_corpus_scan(spark):
