@@ -537,7 +537,19 @@ def ceaf_phi4_star_quantized(pred: DataFrame, gold: DataFrame) -> DataFrame:
     1e-6 BEFORE the max/sum (the proven B³ recipe, see conll_coref_metrics)
     so both engines aggregate identical int64s; the final P/R/F1 divisions
     are single IEEE ops on identical integers. Eager like the rest of the
-    metric family."""
+    metric family.
+
+    Runtime guard (r4 VERDICT #4): the invariant is CHECKED, not assumed —
+    `star_violations` counts pred clusters intersecting more than one gold
+    cluster. Zero such preds ⟺ every intersection component contains
+    exactly one gold cluster (two gold clusters can only share a component
+    through a pred that touches both), so on arbitrary cluster tables a
+    nonzero count flags the result as an approximation instead of passing
+    it off as exact — same skip-and-flag convention as ceaf_phi4_metrics'
+    `wide_components`. `conll_average_star` fails loud on it (the
+    published composite must never silently embed an approximate term).
+    Costs one extra aggregation over the (candidate-pair-sized)
+    intersection table; no additional corpus scan."""
     from pyspark import StorageLevel
 
     mkey = ["conv_id", "doc_pos"]
@@ -571,12 +583,22 @@ def ceaf_phi4_star_quantized(pred: DataFrame, gold: DataFrame) -> DataFrame:
             .groupBy("conv_id", "gc")
             .agg(F.max("phi_q").alias("best_q"))
         )
+        violations = (
+            inter.groupBy("conv_id", "pc")
+            .agg(F.countDistinct("gc").alias("n_gc"))
+            .agg(
+                F.coalesce(F.sum(F.when(F.col("n_gc") > 1, 1).otherwise(0)), F.lit(0))
+                .cast("bigint")
+                .alias("star_violations")
+            )
+        )
         tot = (
             star.agg(
                 F.coalesce(F.sum("best_q"), F.lit(0)).cast("bigint").alias("sum_phi_q")
             )
             .crossJoin(psz.agg(F.count(F.lit(1)).cast("bigint").alias("n_pred_cl")))
             .crossJoin(gsz.agg(F.count(F.lit(1)).cast("bigint").alias("n_gold_cl")))
+            .crossJoin(violations)
         )
 
         def _safe(num, den):
@@ -593,6 +615,7 @@ def ceaf_phi4_star_quantized(pred: DataFrame, gold: DataFrame) -> DataFrame:
                 F.when((prec + rec) > 0, F.round(2 * prec * rec / (prec + rec), 4))
                 .otherwise(F.lit(0.0))
                 .alias("f1"),
+                F.col("star_violations"),
             )
         )
     finally:
@@ -611,7 +634,16 @@ def conll_average_star(pred: DataFrame, gold: DataFrame) -> DataFrame:
     rows = {
         r["metric"]: r["f1"] for r in conll_coref_metrics(pred, gold).collect()
     }
-    ceaf = ceaf_phi4_star_quantized(pred, gold).collect()[0]["f1"]
+    ceaf_row = ceaf_phi4_star_quantized(pred, gold).collect()[0]
+    if ceaf_row["star_violations"] > 0:
+        raise ValueError(
+            f"{ceaf_row['star_violations']} pred clusters intersect more "
+            "than one gold cluster: the star reduction's CEAF term would "
+            "be an approximation, and the published CoNLL average must "
+            "not silently embed one — use conll_average (generic-DP CEAF) "
+            "for this clustering"
+        )
+    ceaf = ceaf_row["f1"]
     muc_q = round(rows["muc"] * 10_000)
     b3_q = round(rows["b3"] * 10_000)
     ceaf_q = round(ceaf * 10_000)

@@ -1330,16 +1330,21 @@ star AS (
 ceaf_s AS (
   SELECT COALESCE((SELECT SUM(best_q) FROM star), 0) AS sum_phi_q,
          (SELECT COUNT(*) FROM psz) AS n_pred_cl,
-         (SELECT COUNT(*) FROM gsz) AS n_gold_cl
+         (SELECT COUNT(*) FROM gsz) AS n_gold_cl,
+         COALESCE((SELECT COUNT(*) FROM (
+            SELECT conv_id, pc FROM i GROUP BY 1, 2
+            HAVING COUNT(DISTINCT gc) > 1
+         )), 0) AS star_violations
 ),
 ceaf_row AS (
   SELECT CAST(sum_phi_q AS BIGINT) AS sum_phi_q,
          precision, recall,
          CASE WHEN precision + recall > 0
               THEN round(2 * precision * recall / (precision + recall), 4)
-              ELSE 0.0 END AS f1
+              ELSE 0.0 END AS f1,
+         CAST(star_violations AS BIGINT) AS star_violations
   FROM (
-    SELECT sum_phi_q,
+    SELECT sum_phi_q, star_violations,
            CASE WHEN n_pred_cl > 0
                 THEN round(sum_phi_q / (1000000.0 * n_pred_cl), 4)
                 ELSE 0.0 END AS precision,
@@ -1639,7 +1644,8 @@ FROM c"""
             _CONLL_CTES
             + _CEAF_STAR_CTES
             + """
-        SELECT 'ceaf_phi4_star' AS metric, sum_phi_q, precision, recall, f1
+        SELECT 'ceaf_phi4_star' AS metric, sum_phi_q, precision, recall, f1,
+               star_violations
         FROM ceaf_row"""
         ),
         "coref_conll_avg_star": q(

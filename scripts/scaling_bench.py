@@ -58,7 +58,7 @@ def main() -> None:
     # interleaved (4,8,16,32, 4,8,16,32, ...) so a slow-host episode hits
     # all levels equally, and score each level by its best observed
     # throughput — the engine's demonstrated capability at that width.
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
     levels = [
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,8,16,32").split(",")
@@ -85,12 +85,14 @@ def main() -> None:
 
     # Per-PASS paired efficiency: pass i's small-N and big-N runs execute
     # minutes apart under comparable host state, so their ratio is the
-    # clean estimator. The ratio of per-level MAXIMA (best-of) is biased
-    # DOWN whenever the small level catches a lucky host window the big
-    # level doesn't (observed: 4-core best inflated by opportunistic
-    # physical-core/turbo backing at low width) — so the gate scores the
-    # best PAIRED pass, with the per-level best-of and mean reported
-    # alongside as evidence.
+    # clean estimator. Each single-number summary of the passes carries a
+    # bias (r4 VERDICT #2): the ratio of per-level MAXIMA is biased DOWN
+    # when the small level alone catches a lucky host window, the MAX of
+    # per-pass ratios is biased UP symmetrically (host steal during a
+    # pass's small-N run inflates that pass's ratio), and the MEAN
+    # averages host noise into the estimate. The gate therefore scores
+    # the MEDIAN of ≥5 per-pass ratios — robust to both one-sided biases
+    # — with all three other estimators reported alongside as evidence.
     def eff_per_pass(n: int, n4: int) -> list[float]:
         return [
             round(
@@ -144,20 +146,27 @@ def main() -> None:
             f"{doublings.get('8to16_x2')} — the wall at full width is "
             "hardware backing, not a serial section (see BENCH.md)"
         )
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
     e_4_16 = pairings.get("4to16")
     e_8_16 = doublings.get("8to16_x2")
-    e_4_16_pass = max(pairings_per_pass.get("4to16", [0.0]))
+    e_4_16_med = _median(pairings_per_pass.get("4to16", [0.0]))
     required = {
-        k: max(v) for k, v in pairings_per_pass.items() if k not in EXCLUDED
+        k: _median(v) for k, v in pairings_per_pass.items() if k not in EXCLUDED
     }
     ok = (
-        e_4_16_pass >= 0.8
+        e_4_16_med >= 0.8
         and all(v >= 0.8 for v in required.values())
     )
     result = {
         "metric": "scaling_efficiency_4to16",
-        "value": e_4_16_pass,
+        "value": e_4_16_med,
         "unit": "ratio",
+        "estimator": f"median of {rounds} interleaved paired passes",
+        "pairings_median_of_passes": {k: _median(v) for k, v in pairings_per_pass.items()},
         "pairings_best_paired_pass": {k: max(v) for k, v in pairings_per_pass.items()},
         "pairings_per_pass": pairings_per_pass,
         "pairings_best_of_level": {**pairings, **doublings},
@@ -177,8 +186,10 @@ def main() -> None:
     pair_lines = "\n".join(
         f"- {k.replace('to', ' → ').replace('_x2', ' (×2 doubling)')} cores: "
         + (
-            f"**{max(pairings_per_pass[k])}** best paired pass "
-            f"(per pass: {pairings_per_pass[k]}; mean {pairings_mean[k]}; "
+            f"**{_median(pairings_per_pass[k])}** median of "
+            f"{len(pairings_per_pass[k])} paired passes "
+            f"(per pass: {pairings_per_pass[k]}; best pass "
+            f"{max(pairings_per_pass[k])}; mean {pairings_mean[k]}; "
             f"ratio-of-level-bests {v})"
             if k in pairings_per_pass
             else f"**{v}**"
@@ -189,17 +200,21 @@ def main() -> None:
         )
     )
     gate_line = (
-        f"Gate: canonical **4 → 16 = {e_4_16_pass}** (best paired pass, ≥ 0.8: "
-        f"{'PASS' if ok else 'FAIL'}); every other N→4N pairing must also "
-        f"pass unless listed above as excluded with its measured reason. "
-        f"Estimator note: each interleaved ladder pass runs its 4- and "
-        f"16-core jobs minutes apart under comparable host conditions, so "
-        f"the per-pass ratio is the clean efficiency measurement; the "
-        f"ratio of per-level best-ofs ({e_4_16}) is biased down whenever "
-        f"the 4-core level alone catches a lucky host window (observed: "
-        f"opportunistic full-core/turbo backing at low vCPU width), and "
-        f"the mean-of-passes ({pairings_mean.get('4to16')}) averages host "
-        f"noise INTO the estimate. All three are reported above."
+        f"Gate: canonical **4 → 16 = {e_4_16_med}** (median of {rounds} "
+        f"interleaved paired passes, ≥ 0.8: {'PASS' if ok else 'FAIL'}); "
+        f"every other N→4N pairing must also pass on its median unless "
+        f"listed above as excluded with its measured reason. Estimator "
+        f"note (r4 VERDICT #2): each interleaved ladder pass runs its 4- "
+        f"and 16-core jobs minutes apart under comparable host conditions, "
+        f"so per-pass ratios are the clean measurements — but summarizing "
+        f"them by their MAX ({max(pairings_per_pass.get('4to16', [0.0]))}) "
+        f"is biased up (host steal during a pass's 4-core run inflates "
+        f"that pass's ratio), the ratio of per-level best-ofs ({e_4_16}) "
+        f"is biased down (the 4-core level alone catching a lucky host "
+        f"window), and the mean ({pairings_mean.get('4to16')}) averages "
+        f"host noise into the estimate. The MEDIAN of ≥5 passes is robust "
+        f"to both one-sided biases and is the gate criterion; all four "
+        f"estimators are reported above."
     )
     md = f"""# BENCH — measured throughput & scaling (this sandbox)
 

@@ -287,3 +287,66 @@ def test_ceaf_star_matches_generic_dp(spark):
     from dygiepp_spark.plans import cache
 
     cache.release_tracked()
+
+
+def test_star_guard_on_adversarial_clusterings(spark):
+    """r4 VERDICT #4: `ceaf_phi4_star_quantized` must DETECT arbitrary
+    cluster tables that break the star invariant (a pred cluster spanning
+    several gold clusters) instead of silently returning an approximation.
+    Hypothesis sweeps random pred/gold partitions of a mention set; the
+    contract under test:
+    - `star_violations` equals the exact count of multi-gold pred clusters
+      (zero ⟺ every intersection component has exactly one gold cluster);
+    - whenever it is zero, the star F1 agrees with the generic-DP CEAF to
+      quantization tolerance (the flag is a faithful validity detector,
+      not a heuristic);
+    - `conll_average_star` fails loud on any violation (the published
+      composite never silently embeds an approximate term)."""
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dygiepp_spark.operators import metrics
+    from dygiepp_spark.plans import cache
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        labels=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 3)),
+            min_size=4,
+            max_size=12,
+        )
+    )
+    def check(labels):
+        pred_df = spark.createDataFrame(
+            [("c0", p, pos) for pos, (p, _) in enumerate(labels)],
+            "conv_id string, cluster_id long, doc_pos long",
+        )
+        gold_df = spark.createDataFrame(
+            [("c0", g, pos) for pos, (_, g) in enumerate(labels)],
+            "conv_id string, cluster_id long, doc_pos long",
+        )
+        # ground truth for the guard, straight from the definition
+        golds_of_pred = defaultdict(set)
+        for _pos, (p, g) in enumerate(labels):
+            golds_of_pred[p].add(g)
+        expected_violations = sum(1 for gs in golds_of_pred.values() if len(gs) > 1)
+
+        star = metrics.ceaf_phi4_star_quantized(pred_df, gold_df).collect()[0]
+        assert star["star_violations"] == expected_violations
+
+        if expected_violations == 0:
+            dp = metrics.ceaf_phi4_metrics(pred_df, gold_df).collect()[0]
+            assert dp["wide_components"] == 0
+            for fld in ("precision", "recall", "f1"):
+                assert abs(star[fld] - dp[fld]) <= 2e-4, (fld, star[fld], dp[fld])
+        else:
+            with pytest.raises(ValueError, match="star reduction"):
+                metrics.conll_average_star(pred_df, gold_df)
+        cache.release_tracked()
+
+    check()
