@@ -28,6 +28,16 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# Schema contract for the two production DDL/DML surfaces, shared with the
+# tests so column drift in the engine breaks a test instead of a deployment
+# (r4 VERDICT #3): the turns bucket column, and the MERGE's key/accumulator
+# columns which must exactly partition the canonical_triples output schema.
+TURNS_BUCKET_COL = "conv_id"
+TURNS_N_BUCKETS = 1024
+MERGE_KEY_COLS = ("subj_canonical", "pred", "obj_canonical")
+MERGE_ACCUM_COL = "n_support"
+
+
 def write_turns_table(turns: DataFrame, table: str = "kg.db.turns") -> None:
     """Create/replace the turns table bucketed by conv_id — the layout the
     whole pipeline's partitioning assumes (one conversation = one bucket's
@@ -38,11 +48,16 @@ def write_turns_table(turns: DataFrame, table: str = "kg.db.turns") -> None:
             "Iceberg runtime not on the classpath; ship with --packages "
             "iceberg-spark-runtime and set ICEBERG_CONFS on the session"
         )
+    if TURNS_BUCKET_COL not in turns.columns:
+        raise ValueError(
+            f"turns table is missing bucket column {TURNS_BUCKET_COL!r}: "
+            f"{turns.columns}"
+        )
     from pyspark.sql.functions import bucket, col
 
     (
         turns.writeTo(table)
-        .partitionedBy(bucket(1024, col("conv_id")))
+        .partitionedBy(bucket(TURNS_N_BUCKETS, col(TURNS_BUCKET_COL)))
         .createOrReplace()
     )
 
@@ -83,11 +98,21 @@ def merge_canonical_triples(
             "Iceberg runtime not on the classpath; ship with --packages "
             "iceberg-spark-runtime and set ICEBERG_CONFS on the session"
         )
-    spark.sql(
-        f"""MERGE INTO {table} t
+    spark.sql(canonical_triples_merge_sql(updates_view, table))
+
+
+def canonical_triples_merge_sql(
+    updates_view: str, table: str = "kg.db.triples"
+) -> str:
+    """The MERGE statement, built from the shared column contract so it is
+    testable without the Iceberg jar: tests validate every referenced
+    column against the real canonical_triples output schema (and that the
+    ON keys are exactly its dedup grouping keys, which `INSERT *` relies
+    on)."""
+    on = " AND ".join(f"t.{c} = u.{c}" for c in MERGE_KEY_COLS)
+    return f"""MERGE INTO {table} t
         USING {updates_view} u
-        ON t.subj_canonical = u.subj_canonical AND t.pred = u.pred
-           AND t.obj_canonical = u.obj_canonical
-        WHEN MATCHED THEN UPDATE SET t.n_support = t.n_support + u.n_support
+        ON {on}
+        WHEN MATCHED THEN UPDATE SET
+          t.{MERGE_ACCUM_COL} = t.{MERGE_ACCUM_COL} + u.{MERGE_ACCUM_COL}
         WHEN NOT MATCHED THEN INSERT *"""
-    )
