@@ -83,7 +83,7 @@ class TorchSpanScorer:
         if not token_batch:
             return []
         states = self._encode(token_batch)
-        bases = [self._standin._forward_one(toks) for toks in token_batch]
+        bases = self.generate_candidates(token_batch)
 
         # gather (turn, start, end) for every span-shaped candidate: the
         # mentions first, then the triggers (a trigger is the width-1 span
@@ -137,6 +137,31 @@ class TorchSpanScorer:
             out.append(scored)
         return out
 
+    def generate_candidates(
+        self, token_batch: list[list[str]]
+    ) -> list[TurnPredictions]:
+        """THE PRODUCTION DECODE SWAP SLOT (r4 VERDICT #7).
+
+        Everything downstream of this call is batched tensor work — one
+        `_span_head` matmul for every span/trigger in the micro-batch, one
+        `_pair_head` matmul for every pair — so this method is the single
+        remaining per-turn boundary. In-sandbox it delegates to the
+        stand-in's deterministic lexicon gate (`StandInModel._forward_one`)
+        turn by turn: that loop is NOT a performance template — the
+        lexicon gate is a dict lookup per token and candidate determinism
+        is required by the oracle gates.
+
+        To run a real trained model, override or replace ONLY this method
+        with batched candidate decode (e.g. the reference's beam over span
+        scores, dygie/models/ner.py:93-104 scores all spans in one FFN
+        forward and thresholds): return one `TurnPredictions` per input
+        turn with (start, end, label, surface) mentions, (pos, type)
+        triggers and (subj, obj) pairs — scores are overwritten by the
+        batched heads above, so candidate scores may be placeholders.
+        `forward` and `_forward_loop` both route through here, so the
+        batched≡loop seam test keeps covering a swapped implementation."""
+        return [self._standin._forward_one(toks) for toks in token_batch]
+
     def _forward_loop(self, token_batch: list[list[str]]) -> list[TurnPredictions]:
         """Reference implementation: per-candidate Python head calls. Kept
         ONLY so the skipif seam test can assert batched ≡ loop output; the
@@ -145,9 +170,10 @@ class TorchSpanScorer:
         if not token_batch:
             return []
         states = self._encode(token_batch)
+        bases = self.generate_candidates(token_batch)
         out: list[TurnPredictions] = []
         for i, toks in enumerate(token_batch):
-            base = self._standin._forward_one(toks)
+            base = bases[i]
             scored = TurnPredictions()
             for s, e, label, surface, _raw, _soft in base.mentions:
                 rep = torch.cat(

@@ -67,3 +67,33 @@ def test_batched_heads_match_loop_reference():
         assert b.triples == l.triples
         assert b.triggers == l.triggers
         assert b.arguments == l.arguments
+
+
+def test_generate_candidates_is_the_swap_slot():
+    """r4 VERDICT #7: `generate_candidates` is the single production decode
+    swap boundary. A subclass overriding ONLY it must change candidates in
+    BOTH the batched and loop paths (they share the slot), with the
+    batched≡loop identity intact — so a real-model decode inherits the
+    batched head scoring and the seam test coverage unchanged."""
+    from dygiepp_spark.inference.encoder import TorchSpanScorer
+
+    class NoRelationsModel(TorchSpanScorer):
+        def generate_candidates(self, token_batch):
+            bases = super().generate_candidates(token_batch)
+            for b in bases:
+                b.triples = []  # a "trained model" that decodes no relations
+            return bases
+
+    scorer = NoRelationsModel(PipelineConfig(model_backend="torch"))
+    batch = [
+        "alice sent bob a report and bob filed the big table".split(),
+        "bob met alice".split(),
+    ]
+    batched = scorer.forward(batch)
+    loop = scorer._forward_loop(batch)
+    assert all(not t.triples for t in batched)
+    assert any(t.mentions for t in batched)  # only the overridden head moved
+    for b, l in zip(batched, loop):
+        assert b.mentions == l.mentions
+        assert b.triples == l.triples == []
+        assert b.triggers == l.triggers
