@@ -1773,10 +1773,11 @@ QUERIES: dict[str, QuerySpec] = {
 #   permanent error row in the hard signal (their correctness pin is
 #   pytest, which runs all of them every round);
 # - any query whose OPERATOR CHANGED this round stays inside the gated
-#   window (this round: similarity.py → embedding_* queries; cache.py
-#   scoping → every tracked-persist consumer: near_dup_pairs,
-#   lsh_candidate_pairs, minhash_signatures, exact_dedup family,
-#   coref metric family — all in-window below);
+#   window (round 5: dedup.py auto-persist → near_dup_pairs + the whole
+#   dedup family; metrics.py star guard + the _CEAF_STAR_CTES violation
+#   column → ceaf_star_metrics, coref_conll_avg_star, validation_report
+#   and the coref metric family — all in-window below; encoder.py and
+#   iceberg.py changes back no registry query);
 # - tail entries are exclusively oracle-gated queries with green driver
 #   rows in ≥2 prior rounds (r01+r02, re-verified by the r3 judge's local
 #   gate run) whose operators did not change, plus the pytest-pinned
@@ -1784,7 +1785,8 @@ QUERIES: dict[str, QuerySpec] = {
 #   round so no query is ever unverified.
 _ROTATED_TAIL = [
     # oracle-gated, driver-green in ≥2 rounds, operator unchanged this round
-    # (binary_metadata returned to the window: multimodal.py changed)
+    # (r5: tail unchanged from r4 — judge-verified 17/17 there, and none of
+    # this round's changed operators back a tail query)
     "doc_assembly_offsets",
     "span_enum_counts",
     "length_guard",
