@@ -262,13 +262,18 @@ where scans dominate (bench.py `near_dup_big`, 100k synthetic docs,
 32 cores): persist 6.8–17 s vs no-persist 36–49 s across host-noise
 conditions — a **2.9–5.4× win** (5.4× on a quiet host), growing with
 corpus size (the no-persist plan re-tokenizes the corpus per branch).
-Revert threshold: if `persist_speedup` in a round's BENCH_r{{N}}.json
-`near_dup_big` entry drops below 1.0, flip `persist_shingles` default to
-False and re-pin the plan test. Since r4, bench.py records the pair at BOTH
-scales every round (`near_dup_big` ≈100k docs, `near_dup_small` = the
-sf-dir documents table) so the crossover point arming this threshold is
-re-measured per round, and anchor measurements retry once under load_avg >
-4 with all attempts recorded (round-over-round deltas are attributable).
+Since r5 the decision is ADAPTIVE (`persist_shingles="auto"`, the
+default): persist iff Catalyst's driver-side size estimate for the input
+exceeds 4 MB, placed inside the measured crossover gap (quiet host, 32
+cores: no-persist 1.8× faster at est 1.7 MB / 5k docs; persist 2.1× at
+4.6 MB / 20k docs, 2.6× at 11.4 MB / 50k, 2.7–5.4× at ~23 MB / 100k).
+bench.py records the pair at BOTH scales every round (`near_dup_big`
+≈100k docs, `near_dup_small` = the sf-dir documents table) together with
+the auto choice, the size estimate, and whether auto picked the measured
+winner — if `auto_picked_winner` is false at either scale on a quiet
+round, re-derive the threshold from that round's attempts. Anchor
+measurements retry once under load_avg > 4 with all attempts recorded
+(round-over-round deltas are attributable).
 
 Reproduce: `python scripts/scaling_bench.py`. Per-operator benchmark
 numbers: `python bench.py` (recorded per-round as BENCH_r{{N}}.json).
