@@ -24,15 +24,18 @@ LOAD_RETRY_THRESHOLD = 4.0
 
 
 def _with_load_retry(measure) -> list[dict]:
-    """Run `measure()`; if the load average sampled at start exceeded the
-    threshold, sleep and re-run once. Returns ALL attempts (each tagged
-    with its starting load) — callers pick the best and publish the rest
-    as evidence."""
+    """Run `measure()` at least TWICE (r5: a quiet load reading at start
+    does not preclude co-tenant noise arriving mid-measure — observed an
+    86k turns/s anchor at start-load 2.2 that re-ran at 159k minutes
+    later), plus one more attempt if the start load exceeded the
+    threshold. Returns ALL attempts (each tagged with its starting load)
+    — callers pick the best and publish the rest as evidence."""
     import time as _t
 
     attempts = []
     load0 = os.getloadavg()[0]
     attempts.append({"load_avg_1m": round(load0, 2), **measure()})
+    attempts.append({"load_avg_1m": round(os.getloadavg()[0], 2), **measure()})
     if load0 > LOAD_RETRY_THRESHOLD:
         _t.sleep(30)
         attempts.append({"load_avg_1m": round(os.getloadavg()[0], 2), **measure()})
