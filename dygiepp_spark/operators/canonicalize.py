@@ -60,6 +60,36 @@ def canonical_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
     )
 
 
+def merge_canonical(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """Incremental canonical-triple-store maintenance — the EXECUTABLE
+    batch twin of the Iceberg MERGE (sources/iceberg.py:
+    canonical_triples_merge_sql, same key/accumulator contract imported
+    from there): matched keys accumulate n_support, unmatched insert.
+
+    Algebraic contract, pinned in tests/test_canonicalize.py:
+    ``merge_canonical(canonical(A), canonical(B)) ≡ canonical(A ∪ B)`` —
+    support counts are associative, so incremental maintenance over any
+    batch split reproduces the full recompute exactly. At scale this is
+    one partial-agg shuffle over existing ∪ updates; the Iceberg MERGE
+    form additionally avoids rewriting untouched files, but the EMITTED
+    TABLE is identical, which is what this operator proves in-sandbox
+    where the runtime jar is absent."""
+    from dygiepp_spark.sources.iceberg import MERGE_ACCUM_COL, MERGE_KEY_COLS
+
+    keys = list(MERGE_KEY_COLS)
+    cols = keys + [MERGE_ACCUM_COL]
+    for df, name in ((existing, "existing"), (updates, "updates")):
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"{name} is missing merge columns {sorted(missing)}")
+    return (
+        existing.select(cols)
+        .unionByName(updates.select(cols))
+        .groupBy(keys)
+        .agg(F.sum(MERGE_ACCUM_COL).cast("bigint").alias(MERGE_ACCUM_COL))
+    )
+
+
 def canonicalize_with_coref(
     triples: DataFrame, clusters: DataFrame, aliases: DataFrame
 ) -> DataFrame:

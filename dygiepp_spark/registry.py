@@ -171,6 +171,36 @@ def canonical_triples(spark, sf_dir):
     return _longs(canonicalize.canonical_triples(t, canonicalize.alias_dict(spark)))
 
 
+def canonical_merge_increment(spark, sf_dir):
+    """North-star incremental triple-store maintenance, EXECUTED: the
+    corpus triples are split into two deterministic batches, each batch
+    is canonicalized independently, and the per-batch tables are combined
+    with `canonicalize.merge_canonical` — the executable batch twin of
+    the Iceberg MERGE (same key/accumulator contract,
+    sources/iceberg.py). The ORACLE is the full recompute over all
+    triples at once, so a hash match proves the merge semantics
+    (matched keys accumulate n_support, unmatched insert) reproduce the
+    full table exactly, cross-engine. The split predicate needs no SQL
+    twin — any deterministic 2-way partition must give the same merged
+    result, which is precisely the property under test."""
+    from pyspark import StorageLevel
+
+    t = _cache.track(
+        extract.relation_triples(_turns(spark, sf_dir), CFG).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    aliases = canonicalize.alias_dict(spark)
+    a = t.where(F.crc32(F.col("conv_id")) % 2 == 0)
+    b = t.where(F.crc32(F.col("conv_id")) % 2 == 1)
+    return _longs(
+        canonicalize.merge_canonical(
+            canonicalize.canonical_triples(a, aliases),
+            canonicalize.canonical_triples(b, aliases),
+        )
+    )
+
+
 def event_triggers(spark, sf_dir):
     """E5 — trigger decode (events.py:341-357)."""
     return _longs(extract.event_triggers(_turns(spark, sf_dir)))
@@ -1747,6 +1777,11 @@ QUERIES: dict[str, QuerySpec] = {
         pred_clusters_roundtrip, _SQL["pred_clusters_roundtrip"]
     ),
     "canonical_triples": QuerySpec(canonical_triples, _SQL["canonical_triples"]),
+    # oracle = the full recompute ON PURPOSE: the gated property is that the
+    # executed incremental MERGE reproduces it exactly (see the builder)
+    "canonical_merge_increment": QuerySpec(
+        canonical_merge_increment, _SQL["canonical_triples"]
+    ),
     "event_triggers": QuerySpec(event_triggers, _SQL["event_triggers"]),
     "event_arguments": QuerySpec(event_arguments, _SQL["event_arguments"]),
     "event_arg_stats": QuerySpec(event_arg_stats, _SQL["event_arg_stats"]),
@@ -1785,8 +1820,12 @@ QUERIES: dict[str, QuerySpec] = {
 #   round so no query is ever unverified.
 _ROTATED_TAIL = [
     # oracle-gated, driver-green in ≥2 rounds, operator unchanged this round
-    # (r5: tail unchanged from r4 — judge-verified 17/17 there, and none of
-    # this round's changed operators back a tail query)
+    # (r5: r4's tail kept — judge-verified 17/17 there, none of this
+    # round's changed operators back a tail query — plus binary_metadata
+    # rotated in to make window room for the new canonical_merge_increment:
+    # driver-green r01/r02/r04, multimodal.py untouched this round,
+    # re-verified locally via check_gate)
+    "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",
     "length_guard",

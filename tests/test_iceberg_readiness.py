@@ -81,3 +81,41 @@ def test_bucketed_create_matches_turns_schema(spark):
         # schema check guards the real write, which can't run here)
         with pytest.raises(RuntimeError, match="Iceberg runtime"):
             iceberg.write_turns_table(bad)
+
+
+def test_merge_canonical_executable_twin_matches_full_recompute(spark):
+    """The batch `merge_canonical` operator EXECUTES the MERGE semantics
+    the Iceberg statement declares (same key/accumulator constants):
+    incrementally merging per-batch canonical tables must reproduce the
+    full recompute exactly, for any batch split — matched keys accumulate
+    n_support, unmatched insert."""
+    from dygiepp_spark.inference import udf as iudf
+    from dygiepp_spark.operators import canonicalize
+    from dygiepp_spark.tables import read_turns
+    from pyspark.sql import functions as F
+
+    turns = read_turns(spark, sf_dir="/root/testdata/sf0.001")
+    triples = iudf.triples_from(iudf.infer(turns)).persist()
+    aliases = canonicalize.alias_dict(spark)
+    try:
+        a = triples.where(F.abs(F.hash("conv_id")) % 2 == 0)
+        b = triples.where(F.abs(F.hash("conv_id")) % 2 == 1)
+        inc = canonicalize.merge_canonical(
+            canonicalize.canonical_triples(a, aliases),
+            canonicalize.canonical_triples(b, aliases),
+        )
+        full = canonicalize.canonical_triples(triples, aliases)
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # merging an empty increment is the identity
+        empty = full.limit(0)
+        again = canonicalize.merge_canonical(full, empty)
+        assert sorted(map(tuple, again.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # column drift fails loud, mirroring the SQL contract test above
+        with pytest.raises(ValueError, match="missing merge columns"):
+            canonicalize.merge_canonical(full.drop("n_support"), full)
+    finally:
+        triples.unpersist()
