@@ -203,3 +203,25 @@ def test_lang_id_single_corpus_scan(spark):
     )
     assert scans == 1, f"{scans} parquet scans"
     assert "InMemoryTableScan" in plan
+
+
+def test_canonical_merge_increment_single_triples_materialization(spark):
+    """The incremental-merge query fans the extracted triples into two
+    batch branches; the tracked persist must serve both from cache — at
+    most the turns scan plus cache reads, never a re-extraction per
+    branch (at 100 TB that would run the inference UDF twice)."""
+    from dygiepp_spark.plans import cache
+
+    with cache.scoped():
+        df = QUERIES["canonical_merge_increment"].build(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    scans = sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    assert scans <= 1, f"{scans} parquet scans"
+    assert "InMemoryTableScan" in plan
