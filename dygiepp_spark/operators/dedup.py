@@ -270,8 +270,14 @@ def near_dup_pairs(
     scales are measured every round, so the decision is encoded — persist
     iff Catalyst's size estimate for ``docs`` exceeds
     ``PERSIST_AUTO_THRESHOLD_BYTES`` (see `persist_decision`). Pass
-    True/False to override."""
-    if persist_shingles == "auto":
+    True/False to override; any other string is an error (r5 ADVICE: a
+    typo like ``"false"`` must not silently persist)."""
+    if isinstance(persist_shingles, str):
+        if persist_shingles != "auto":
+            raise ValueError(
+                "persist_shingles must be True, False, or 'auto'; "
+                f"got {persist_shingles!r}"
+            )
         persist_shingles, _ = persist_decision(docs)
     sh = shingle_hashes(docs, id_col, text_col)
     if persist_shingles:

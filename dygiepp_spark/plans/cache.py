@@ -64,6 +64,40 @@ def release_tracked() -> int:
     return n
 
 
+def maybe_persist(
+    df: DataFrame,
+    decide_on: DataFrame | None = None,
+    persist: bool | str = "auto",
+) -> DataFrame:
+    """Persist-and-track ``df`` iff the multi-branch reuse is worth the
+    materialization job (r5 VERDICT #4: extend the near-dup adaptive
+    persist to every unconditional multi-branch persist).
+
+    ``persist="auto"`` (default) delegates to
+    ``operators.dedup.persist_decision`` on ``decide_on`` (the upstream
+    FILE-BACKED input whose size Catalyst estimates accurately — pass the
+    source scan, not a derived plan) or on ``df`` itself: persist above
+    the measured crossover, recompute below it. The threshold is borrowed
+    from the near-dup shingle crossover measurement (documented there;
+    re-measured every round by bench.py) — the regimes rhyme (tiny inputs
+    pay more for the materialization job than N recomputes cost) even
+    though the exact crossover differs per operator. True/False force a
+    regime; other strings raise (a typo must not silently persist)."""
+    if isinstance(persist, str):
+        if persist != "auto":
+            raise ValueError(
+                f"persist must be True, False, or 'auto'; got {persist!r}"
+            )
+        from dygiepp_spark.operators.dedup import persist_decision
+
+        persist, _ = persist_decision(decide_on if decide_on is not None else df)
+    if persist:
+        from pyspark import StorageLevel
+
+        return track(df.persist(StorageLevel.MEMORY_AND_DISK))
+    return df
+
+
 @contextmanager
 def scoped() -> Iterator[None]:
     """Scope tracked persists: everything ``track()``-ed inside the block

@@ -171,7 +171,7 @@ def canonical_triples(spark, sf_dir):
     return _longs(canonicalize.canonical_triples(t, canonicalize.alias_dict(spark)))
 
 
-def canonical_merge_increment(spark, sf_dir):
+def canonical_merge_increment(spark, sf_dir, persist="auto"):
     """North-star incremental triple-store maintenance, EXECUTED: the
     corpus triples are split into two deterministic batches, each batch
     is canonicalized independently, and the per-batch tables are combined
@@ -182,17 +182,26 @@ def canonical_merge_increment(spark, sf_dir):
     (matched keys accumulate n_support, unmatched insert) reproduce the
     full table exactly, cross-engine. The split predicate needs no SQL
     twin — any deterministic 2-way partition must give the same merged
-    result, which is precisely the property under test."""
-    from pyspark import StorageLevel
+    result, which is precisely the property under test. NULL conv_id
+    routes to batch 0 (r5 ADVICE: NULL % 2 is NULL, which would silently
+    drop such rows from BOTH batches).
 
-    t = _cache.track(
-        extract.relation_triples(_turns(spark, sf_dir), CFG).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+    The triples persist is adaptive (r5 VERDICT #4, `persist="auto"`):
+    above the crossover the tracked persist serves both batch branches
+    from ONE extraction — at 100 TB recomputing the inference UDF per
+    branch is the failure mode the forced-persist plan pin forbids
+    (test_plan_quality) — while below it (tiny file-backed inputs) the
+    two-scan recompute is measurably cheaper than the materialization
+    job. Decision input: the file-backed turns scan, whose size Catalyst
+    estimates accurately."""
+    turns = _turns(spark, sf_dir)
+    t = _cache.maybe_persist(
+        extract.relation_triples(turns, CFG), decide_on=turns, persist=persist
     )
     aliases = canonicalize.alias_dict(spark)
-    a = t.where(F.crc32(F.col("conv_id")) % 2 == 0)
-    b = t.where(F.crc32(F.col("conv_id")) % 2 == 1)
+    batch = F.coalesce(F.crc32(F.col("conv_id")), F.lit(0)) % 2
+    a = t.where(batch == 0)
+    b = t.where(batch == 1)
     return _longs(
         canonicalize.merge_canonical(
             canonicalize.canonical_triples(a, aliases),
@@ -790,17 +799,21 @@ def pair_features(spark, sf_dir):
     )
 
 
-def coref_propagation(spark, sf_dir):
+def coref_propagation(spark, sf_dir, persist="auto"):
     """D10 — one iteration of coref score propagation along antecedent
     edges (coref.py:114-157; gate f = 1/2 stand-in). The mention table
     feeds the edge derivation AND both propagation branches — persisted
     (tracked) so the extraction lineage runs once, not six times
-    (r4 scan audit: 6 parquet scans unpersisted → 1)."""
-    from pyspark import StorageLevel
-
+    (r4 scan audit: 6 parquet scans unpersisted → 1). The persist is
+    adaptive since r6 (r5 VERDICT #4, `persist="auto"` via
+    cache.maybe_persist, threshold borrowed from the measured near-dup
+    crossover): the 1-scan persisted plan is the scale plan, but tiny
+    file-backed inputs pay more for the materialization job than the
+    6-scan recompute costs. Both regimes plan-pinned in
+    test_plan_quality.py."""
     t = _turns(spark, sf_dir)
-    mentions = _cache.track(
-        coref.coref_mentions(t).persist(StorageLevel.MEMORY_AND_DISK)
+    mentions = _cache.maybe_persist(
+        coref.coref_mentions(t), decide_on=t, persist=persist
     )
     edges = coref.antecedent_edges(mentions)
     out = coref.propagate_scores(mentions, edges, iterations=1)

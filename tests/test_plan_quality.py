@@ -205,23 +205,68 @@ def test_lang_id_single_corpus_scan(spark):
     assert "InMemoryTableScan" in plan
 
 
+def _count_scans(plan: str) -> int:
+    return sum(
+        1 for line in plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+
+
 def test_canonical_merge_increment_single_triples_materialization(spark):
-    """The incremental-merge query fans the extracted triples into two
-    batch branches; the tracked persist must serve both from cache — at
-    most the turns scan plus cache reads, never a re-extraction per
-    branch (at 100 TB that would run the inference UDF twice)."""
+    """SCALE regime (persist=True — what auto picks above the crossover):
+    the incremental-merge query fans the extracted triples into two batch
+    branches; the tracked persist must serve both from cache — at most
+    the turns scan plus cache reads, never a re-extraction per branch
+    (at 100 TB that would run the inference UDF twice)."""
+    from dygiepp_spark import registry
     from dygiepp_spark.plans import cache
 
     with cache.scoped():
-        df = QUERIES["canonical_merge_increment"].build(spark, SF)
+        df = registry.canonical_merge_increment(spark, SF, persist=True)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
-    scans = sum(
-        1 for line in plan.splitlines()
-        if "Scan parquet" in line and line.strip().startswith("(")
-    )
-    assert scans <= 1, f"{scans} parquet scans"
+    assert _count_scans(plan) <= 1, plan
     assert "InMemoryTableScan" in plan
+
+
+def test_canonical_merge_increment_auto_tiny_skips_persist(spark):
+    """TINY regime (r5 VERDICT #4): at sf0.001 the auto decision must
+    skip the materialization job — the plan recomputes the extraction
+    per batch branch (2 turns scans, no cache), which is measurably
+    cheaper below the crossover. The registry default is auto, so this
+    pins what the driver's correctness run actually executes at small
+    scale."""
+    plan = _plan(spark, "canonical_merge_increment")
+    assert "InMemoryTableScan" not in plan
+    assert _count_scans(plan) == 2, plan
+
+
+def test_coref_propagation_persist_regimes(spark):
+    """Both regimes of the adaptive mention-table persist (r5 VERDICT
+    #4): forced persist = the scale plan — the mention table serves the
+    edge derivation and both propagation branches from cache, so the
+    only parquet scans left are the ≤2 INSIDE the single cached
+    coref_mentions lineage (materialized once; the mention builder
+    itself reads turns twice, span path + pruning-window path). Auto at
+    sf0.001 = the tiny-input no-persist plan: no cache, the full 6-scan
+    recompute the r4 audit measured — cheaper than materialization below
+    the crossover."""
+    from dygiepp_spark import registry
+    from dygiepp_spark.plans import cache
+
+    with cache.scoped():
+        df = registry.coref_propagation(spark, SF, persist=True)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    assert "InMemoryTableScan" in plan
+    assert _count_scans(plan) <= 2, plan
+
+    auto_plan = _plan(spark, "coref_propagation")
+    assert "InMemoryTableScan" not in auto_plan
+    assert _count_scans(auto_plan) == 6, auto_plan
