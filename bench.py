@@ -1,8 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ..., "turns_per_sec": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (r5 VERDICT #1 — the driver captures only the last ~2 KB
+of stdout and parses the LAST line): the FINAL stdout line is a COMPACT
+JSON record {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, anchors as best-attempt summaries} guaranteed small
+enough for the driver's tail capture. The full evidence (all headline
+passes, all anchor attempts with per-attempt loads) is printed on a
+PRECEDING stdout line and written to BENCH_DETAIL.json next to this file
+— BENCH_r05.json came back `parsed: null` because the multi-pass data
+was inlined into the final line and outgrew the capture window.
 
 Scaling evidence (BASELINE.md §2: efficiency ≥ 0.8 between N and 4N):
 run `python scripts/scaling_bench.py`, which invokes this file at two
@@ -154,7 +162,87 @@ def main() -> None:
         attempts = _with_load_retry(_measure_big)
         best = max(attempts, key=lambda a: a["turns_per_sec"])
         big = {"n_turns": n_big, **best, "attempts": attempts}
+
+        # coref anchor at scale (r5 VERDICT #5): the sf0.1 headline's 5k
+        # turns are setup-dominated — this runs the mega-conversation
+        # connected-components path (the known skew source) on the same
+        # ~0.4M-turn corpus the extraction anchor uses.
+        from dygiepp_spark.operators import coref as _coref
+        from dygiepp_spark.plans import cache as _c2
+
+        def _coref_job() -> None:
+            with _c2.scoped():
+                _coref.clusters_via_components(big_turns).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+        _coref_job()  # warm-up, not measured
+
+        def _measure_coref() -> dict:
+            t0 = time.perf_counter()
+            _coref_job()
+            sec = time.perf_counter() - t0
+            return {"sec": round(sec, 3), "turns_per_sec": round(n_big / sec, 1)}
+
+        coref_attempts = _with_load_retry(_measure_coref)
+        coref_big = {
+            "n_turns": n_big,
+            **max(coref_attempts, key=lambda a: a["turns_per_sec"]),
+            "attempts": coref_attempts,
+        }
         big_turns.unpersist()
+    else:
+        coref_big = None
+
+    # lang-ID anchor at scale (r5 VERDICT #5): the explode-heaviest plan
+    # (one bigram explode over the corpus feeding both profile aggregation
+    # and scoring join) measured at ~100k docs where the explode dominates
+    # job setup. Deterministic synthetic lang labels — throughput anchor,
+    # not an accuracy check. Disable with SPARK_GRAFT_BENCH_LANGID=0.
+    langid_docs = int(os.environ.get("SPARK_GRAFT_BENCH_LANGID", "100000"))
+    langid_big = None
+    if langid_docs > 0:
+        from pyspark.sql import functions as F
+
+        from dygiepp_spark.operators import text_quality
+        from dygiepp_spark.plans import cache as _c3
+        from dygiepp_spark.synth import synth_docs as _synth_docs
+
+        lang_docs = (
+            _synth_docs(spark, n_docs=langid_docs)
+            .withColumn(
+                "lang",
+                F.element_at(
+                    F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+                    (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+                ),
+            )
+            .repartition(int(cpus) * 2)
+            .persist()
+        )
+        n_lang = lang_docs.count()
+
+        def _langid_job() -> None:
+            with _c3.scoped():
+                text_quality.lang_id(lang_docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+        _langid_job()  # warm-up, not measured
+
+        def _measure_langid() -> dict:
+            t0 = time.perf_counter()
+            _langid_job()
+            sec = time.perf_counter() - t0
+            return {"sec": round(sec, 3), "docs_per_sec": round(n_lang / sec, 1)}
+
+        langid_attempts = _with_load_retry(_measure_langid)
+        langid_big = {
+            "n_docs": n_lang,
+            **max(langid_attempts, key=lambda a: a["docs_per_sec"]),
+            "attempts": langid_attempts,
+        }
+        lang_docs.unpersist()
 
     # third anchor: the near-dup persist trade at a scale where corpus
     # scans dominate (the sf0.1 headline runs 5k docs, where job setup
@@ -196,13 +284,19 @@ def main() -> None:
 
             attempts = _with_load_retry(_measure)
             best = min(attempts, key=lambda a: a["sec_persist"])
+            # winner = best-of-attempts per MODE (r5 ADVICE: comparing
+            # within the single attempt chosen by min(sec_persist) lets a
+            # noisy no-persist reading in that attempt misreport the
+            # winner — and a false value triggers threshold re-derivation
+            # per BENCH.md)
+            best_p = min(a["sec_persist"] for a in attempts)
+            best_np = min(a["sec_no_persist"] for a in attempts)
             return {
                 **best,
                 "attempts": attempts,
                 "auto_persist_choice": auto_persist,
                 "est_input_bytes": est_bytes,
-                "auto_picked_winner": auto_persist
-                == (best["sec_persist"] < best["sec_no_persist"]),
+                "auto_picked_winner": auto_persist == (best_p < best_np),
             }
 
         docs = synth_docs(spark, n_docs=nd_docs).repartition(int(cpus) * 2).persist()
@@ -221,28 +315,56 @@ def main() -> None:
         neardup_small = {"n_docs": n_small, **_neardup_pair(small_docs)}
         small_docs.unpersist()
 
+    # Compact FINAL line: headline + best-attempt anchor summaries only
+    # (r5 VERDICT #1 — must fit the driver's ~2 KB tail capture). The
+    # r5-dropped `turns_per_sec` (n_turns × n_queries / total) was not a
+    # real throughput (r5 VERDICT #3 minor); the extraction anchor carries
+    # the interpretable turns/sec.
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
-        "headline_passes": headline_passes,
+        "passes_sec": [p["total_sec"] for p in headline_passes],
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "n_turns": n_turns,
-        "turns_per_sec": round(n_turns * len(names) / total, 1),
         "cpus": int(cpus),
         # host-noise context: this guest sees 3-7x whole-machine slowdowns
         # from co-tenants (load_avg > 0 with zero guest processes). Sampled
         # BEFORE the bench generates its own load, so a noisy round's
         # numbers aren't misread as a regression.
         "load_avg_1m_at_start": round(load_before, 2),
+        "detail": "BENCH_DETAIL.json",
     }
-    if big is not None:
-        out["big_corpus_extraction"] = big
-    if neardup is not None:
-        out["near_dup_big"] = neardup
-    if neardup_small is not None:
-        out["near_dup_small"] = neardup_small
+    detail = {"headline_passes": headline_passes}
+
+    def _anchor(key: str, full: dict | None, summary_keys: tuple[str, ...]) -> None:
+        if full is None:
+            return
+        detail[key] = full
+        out[key] = {k: full[k] for k in summary_keys if k in full}
+
+    _anchor("big_corpus_extraction", big, ("n_turns", "sec", "turns_per_sec"))
+    _anchor("coref_big", coref_big, ("n_turns", "sec", "turns_per_sec"))
+    _anchor("lang_id_big", langid_big, ("n_docs", "sec", "docs_per_sec"))
+    nd_keys = (
+        "n_docs",
+        "sec_persist",
+        "sec_no_persist",
+        "persist_speedup",
+        "auto_persist_choice",
+        "auto_picked_winner",
+    )
+    _anchor("near_dup_big", neardup, nd_keys)
+    _anchor("near_dup_small", neardup_small, nd_keys)
+
+    # full evidence: side file + a PRECEDING stdout line (the driver's
+    # tail may clip it; the file is the durable copy)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f)
+    print(json.dumps(detail))
     print(json.dumps(out))
     spark.stop()
 

@@ -48,6 +48,101 @@ def run_at(cpus: int, n_convs: int) -> dict:
     raise RuntimeError(f"scaling job at {cpus} cores failed 3 times: {last_err}")
 
 
+REF_PATH = os.path.join(HERE, "scaling_reference.json")
+LOG_PATH = os.path.join(REPO, "SCALING_LOG.jsonl")
+
+
+def _canary_gate(n_convs: int) -> dict:
+    """Mechanical window tagging (r5 VERDICT #2): before the ladder
+    launches, run ONE job at the canary width and compare its throughput
+    against the stored prior-round reference band. r5's protocol — retry
+    a degraded window — was prose in BENCH.md, so the decision to discard
+    two failing attempts was discretionary; this encodes it. The run is
+    tagged `healthy` iff canary_tps ≥ healthy_frac × reference level-best
+    (0.9 by default: host-steal episodes observed in r4/r5 depressed
+    every level 10–25%, while healthy-window run-to-run wobble at 16
+    cores stayed within ~8%). A degraded tag AUTO-ANNOTATES the attempt
+    row in BENCH.md/SCALING_LOG.jsonl — no judgment call — and the stored
+    band only ratchets up after healthy completed runs."""
+    ref = {
+        "canary_cpus": 16,
+        "level_best_tps": None,
+        "healthy_frac": 0.9,
+        "n_convs": 150000,
+    }
+    if os.path.exists(REF_PATH):
+        with open(REF_PATH) as f:
+            ref.update(json.load(f))
+    canary = run_at(ref["canary_cpus"], n_convs)
+    tps = canary["turns_per_sec"]
+    if ref["level_best_tps"] is None or n_convs != ref["n_convs"]:
+        # the band is a throughput at the measurement scale — comparing a
+        # different-sized input against it would mis-tag the window
+        window, band = "uncalibrated", None
+    else:
+        band = [round(ref["healthy_frac"] * ref["level_best_tps"], 1),
+                ref["level_best_tps"]]
+        window = "healthy" if tps >= band[0] else "degraded"
+    return {
+        "canary_cpus": ref["canary_cpus"],
+        "canary_tps": tps,
+        "window": window,
+        "reference_band": band,
+        "healthy_frac": ref["healthy_frac"],
+        "ref_n_convs": ref["n_convs"],
+    }
+
+
+def _update_reference(canary: dict, best_16_tps: float | None, n_convs: int) -> None:
+    """Ratchet the stored band after a run whose window was not degraded:
+    reference = max(old, this run's 16-core level-best, canary). Runs at a
+    different input scale never touch the band (their throughputs are not
+    comparable to it)."""
+    if (
+        canary["window"] == "degraded"
+        or best_16_tps is None
+        or n_convs != canary["ref_n_convs"]
+    ):
+        return
+    old = canary.get("reference_band")
+    prior = old[1] if old else 0.0
+    new_best = max(prior, best_16_tps, canary["canary_tps"])
+    with open(REF_PATH, "w") as f:
+        json.dump(
+            {
+                "canary_cpus": canary["canary_cpus"],
+                "level_best_tps": round(new_best, 1),
+                "healthy_frac": canary["healthy_frac"],
+                "n_convs": n_convs,
+            },
+            f,
+        )
+
+
+def _attempt_log_rows(limit: int = 12) -> str:
+    """Markdown attempt table generated from SCALING_LOG.jsonl (r5 VERDICT
+    #2: 'BENCH.md's attempt table is generated from it')."""
+    if not os.path.exists(LOG_PATH):
+        return "| (no logged attempts yet) | | | | |"
+    rows = []
+    with open(LOG_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    out = []
+    for r in rows[-limit:]:
+        band = r.get("reference_band")
+        out.append(
+            f"| {r.get('when', '?')} | {r.get('window', '?')} "
+            f"(canary {r.get('canary_tps', '?')} tps at "
+            f"{r.get('canary_cpus', '?')} cores vs band {band}) "
+            f"| {r.get('per_pass_4to16', '?')} | {r.get('median_4to16', '?')} "
+            f"| {'PASS' if r.get('pass') else 'FAIL'} |"
+        )
+    return "\n".join(out)
+
+
 def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "150000"))
     os.environ.setdefault("SPARK_GRAFT_SCALING_REPS", "2")
@@ -63,6 +158,8 @@ def main() -> None:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,8,16,32").split(",")
     ]
+    canary = _canary_gate(n_convs)
+    print(f"[scaling_bench] window: {json.dumps(canary)}", file=sys.stderr)
     all_runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(rounds):
         for c in levels:
@@ -166,6 +263,7 @@ def main() -> None:
         "value": e_4_16_med,
         "unit": "ratio",
         "estimator": f"median of {rounds} interleaved paired passes",
+        **canary,
         "pairings_median_of_passes": {k: _median(v) for k, v in pairings_per_pass.items()},
         "pairings_best_paired_pass": {k: max(v) for k, v in pairings_per_pass.items()},
         "pairings_per_pass": pairings_per_pass,
@@ -177,6 +275,26 @@ def main() -> None:
         "pass": ok,
     }
     print(json.dumps(result))
+
+    # append the mechanical attempt row and ratchet the reference band
+    # (only after non-degraded runs) — the BENCH.md attempt table below is
+    # generated from this log, so exclusion of degraded windows is
+    # auditable, not discretionary
+    import datetime
+
+    log_row = {
+        "when": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%MZ"
+        ),
+        "n_convs": n_convs,
+        **canary,
+        "per_pass_4to16": pairings_per_pass.get("4to16"),
+        "median_4to16": e_4_16_med,
+        "pass": ok,
+    }
+    with open(LOG_PATH, "a") as f:
+        f.write(json.dumps(log_row) + "\n")
+    _update_reference(canary, runs.get(16, {}).get("turns_per_sec"), n_convs)
 
     rows = "\n".join(
         f"| {c} | {runs[c]['sec']} | {runs[c]['turns_per_sec']} | "
@@ -200,6 +318,16 @@ def main() -> None:
         )
     )
     gate_line = (
+        f"Window gate (mechanical since r6, r5 VERDICT #2): a single "
+        f"{canary['canary_cpus']}-core canary ran BEFORE the ladder at "
+        f"{canary['canary_tps']} turns/s vs stored reference band "
+        f"{canary['reference_band']} (healthy ⟺ canary ≥ "
+        f"{canary['healthy_frac']}× prior level-best) → tagged "
+        f"**{canary['window']}**; the band ratchets only after "
+        f"non-degraded runs and every attempt is appended to "
+        f"SCALING_LOG.jsonl, from which the attempt table below is "
+        f"generated — a degraded-window FAIL is auto-annotated, never "
+        f"discretionarily discarded. "
         f"Gate: canonical **4 → 16 = {e_4_16_med}** (median of {rounds} "
         f"interleaved paired passes, ≥ 0.8: {'PASS' if ok else 'FAIL'}); "
         f"every other N→4N pairing must also pass on its median unless "
@@ -239,6 +367,12 @@ target ≥ 0.8 per BASELINE.md §2):
 {pair_lines}
 
 {gate_line}
+
+## Measurement log (generated from SCALING_LOG.jsonl — all attempts, auto-tagged)
+
+| when (UTC) | window (canary vs reference band) | 4→16 per-pass | median | gate |
+|---|---|---|---|---|
+{_attempt_log_rows()}
 
 Measurement notes. Guest vCPU timing on this host is noisy — across
 repeated single-pass runs the 4→16 efficiency estimate ranged 0.65–1.01,
