@@ -354,6 +354,37 @@ def wide_component_report(
     )
 
 
+def star_violation_report(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-conversation count of pred clusters intersecting MORE THAN ONE
+    gold cluster — the ops-rollup twin of ceaf_phi4_star_quantized's
+    corpus-total `star_violations` guard (r5 VERDICT #8: the guard exists
+    and is hypothesis-swept at the operator level; this surfaces it in the
+    one report an operator actually reads, next to the wide-component
+    rows). Returns (conv_id, star_violations) for conversations with ≥1
+    violating pred cluster; empty ⟺ the star reduction's CEAF term is
+    exact for every conversation.
+
+    Shape: one mention-key equi-join to the (candidate-pair-sized)
+    intersection table, then two partial aggregations — no corpus scan
+    beyond the cluster tables themselves."""
+    inter = (
+        pred.select("conv_id", F.col("cluster_id").alias("pc"), "doc_pos")
+        .join(
+            gold.select("conv_id", F.col("cluster_id").alias("gc"), "doc_pos"),
+            on=["conv_id", "doc_pos"],
+        )
+        .select("conv_id", "pc", "gc")
+        .distinct()
+    )
+    return (
+        inter.groupBy("conv_id", "pc")
+        .agg(F.countDistinct("gc").alias("n_gc"))
+        .where(F.col("n_gc") > 1)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("star_violations"))
+    )
+
+
 def ceaf_phi4_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """F6 — CEAFφ4: optimal one-to-one cluster alignment maximizing
     Σ φ4(P_i, G_j), φ4 = 2|P∩G| / (|P|+|G|); precision = Σφ4 / #pred

