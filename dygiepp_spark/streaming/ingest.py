@@ -16,6 +16,9 @@ Patterns used:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -88,6 +91,130 @@ def start_streaming_triples(
     state."""
     process = make_batch_writer(out_dir)
 
+    writer = (
+        turns_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_canonical_merger(store_dir: str, retain_snapshots: int = 3):
+    """foreachBatch handler that maintains the CANONICAL triple store
+    incrementally — the streaming twin of the Iceberg MERGE
+    (sources/iceberg.py:canonical_triples_merge_sql; batch twin
+    operators/canonicalize.py:merge_canonical, whose fold ≡ full-recompute
+    contract is hypothesis-pinned over arbitrary splits in
+    tests/test_canonicalize.py).
+
+    Snapshot-chained for at-least-once safety: each micro-batch writes a
+    complete store snapshot to ``store_dir/snapshot=<batch_id>`` computed
+    as ``merge_canonical(latest snapshot with id < batch_id,
+    canonical(batch))``. A retried batch re-reads the SAME immutable
+    predecessor and overwrites its own snapshot directory, so re-running
+    any batch is byte-idempotent — n_support never double-counts. This is
+    exactly Iceberg's snapshot semantics hand-rolled on parquet-on-FS;
+    the production backend is the real MERGE, which rewrites only touched
+    files instead of the full table. Old snapshots beyond
+    ``retain_snapshots`` are pruned after a successful write (only the
+    latest predecessor is ever read, so pruning cannot break a retry).
+
+    Scale note: the snapshot rewrite is one partial-agg shuffle over
+    (store ∪ updates) per micro-batch — linear in store size, the known
+    cost of the parquet stand-in. At 10^12-turn scale use the Iceberg
+    path; the SEMANTICS (what this proves in-sandbox) are identical.
+    Local-FS only, same gate as plans/checkpoint.py."""
+    from urllib.parse import urlparse
+
+    from dygiepp_spark.operators.canonicalize import (
+        alias_dict,
+        canonical_triples,
+        merge_canonical,
+    )
+    from dygiepp_spark.operators.extract import relation_triples
+
+    if "://" in store_dir and not store_dir.startswith("file://"):
+        raise NotImplementedError(
+            "parquet-on-FS snapshot store is local-FS only; use the "
+            "Iceberg backend (MERGE INTO) for remote storage"
+        )
+    local_store = (
+        urlparse(store_dir).path if store_dir.startswith("file://") else store_dir
+    )
+
+    def _snapshot_ids() -> list[int]:
+        if not os.path.isdir(local_store):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(local_store)
+            if d.startswith("snapshot=")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        updates = canonical_triples(relation_triples(batch_df), alias_dict(spark))
+        # the predecessor is the largest snapshot STRICTLY below this
+        # batch_id: a retry of batch N must never read N's own (possibly
+        # partial) previous write
+        prev_ids = [i for i in _snapshot_ids() if i < batch_id]
+        if prev_ids:
+            prev = spark.read.parquet(
+                os.path.join(store_dir, f"snapshot={prev_ids[-1]}")
+            )
+            merged = merge_canonical(prev, updates)
+        else:
+            merged = updates
+        merged.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"snapshot={batch_id}")
+        )
+        # retain the newest `retain_snapshots` including the one just
+        # written; only the latest predecessor is ever read, so pruning
+        # older ones cannot break a retry
+        older = [i for i in _snapshot_ids() if i < batch_id]
+        keep_prev = retain_snapshots - 1
+        stale = older if keep_prev <= 0 else older[:-keep_prev]
+        for sid in stale:
+            shutil.rmtree(
+                os.path.join(local_store, f"snapshot={sid}"), ignore_errors=True
+            )
+
+    return process
+
+
+def latest_canonical_snapshot(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read the current canonical store: the highest-id snapshot."""
+    from urllib.parse import urlparse
+
+    local_store = (
+        urlparse(store_dir).path if store_dir.startswith("file://") else store_dir
+    )
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(local_store)
+        if d.startswith("snapshot=")
+    )
+    if not ids:
+        raise FileNotFoundError(f"no snapshots under {store_dir}")
+    return spark.read.parquet(os.path.join(store_dir, f"snapshot={ids[-1]}"))
+
+
+def start_streaming_canonical(
+    turns_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    retain_snapshots: int = 3,
+) -> StreamingQuery:
+    """Incremental canonical-store maintenance over a turns stream: per
+    micro-batch, extract → canonicalize → MERGE into the snapshot-chained
+    store (make_canonical_merger). End state ≡ batch full recompute —
+    pinned in tests/test_streaming_jsonl.py."""
+    process = make_canonical_merger(store_dir, retain_snapshots=retain_snapshots)
     writer = (
         turns_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -52,6 +52,86 @@ def test_streaming_triples_match_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _canonical_key(df):
+    return sorted(
+        (r["subj_canonical"], r["pred"], r["obj_canonical"], r["n_support"])
+        for r in df.collect()
+    )
+
+
+def test_streaming_canonical_store_matches_batch(spark):
+    """The snapshot-chained streaming MERGE (ingest.start_streaming_canonical)
+    over multiple micro-batches ends at EXACTLY the batch full-recompute
+    canonical table — the streaming face of the merge ≡ recompute contract
+    (operators/canonicalize.py:merge_canonical; K-way fold pinned in
+    test_canonicalize.py)."""
+    from dygiepp_spark.operators.canonicalize import alias_dict, canonical_triples
+
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=20, seed=9)
+        # three arrivals → ≥3 micro-batches with max_files=1
+        _write_flat(turns.where("conv_id < 'conv1'"), f"{d}/in", "a")
+        _write_flat(
+            turns.where("conv_id >= 'conv1' and conv_id < 'conv2'"), f"{d}/in", "b"
+        )
+        _write_flat(turns.where("conv_id >= 'conv2'"), f"{d}/in", "c")
+
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q = ingest.start_streaming_canonical(stream, f"{d}/store", f"{d}/ckpt")
+        q.awaitTermination(120)
+
+        got = _canonical_key(ingest.latest_canonical_snapshot(spark, f"{d}/store"))
+        want = _canonical_key(
+            canonical_triples(
+                relation_triples(spark.read.parquet(f"{d}/in")), alias_dict(spark)
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_canonical_merger_retry_idempotent(spark):
+    """foreachBatch is at-least-once: re-running any batch id must leave
+    the store byte-identical (the retry re-reads the same immutable
+    predecessor snapshot and overwrites its own), and n_support must never
+    double-count. Also pins snapshot pruning: with retain_snapshots=2 only
+    the newest two snapshot dirs survive."""
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=12, seed=5)
+        b0 = turns.where("conv_id < 'conv1'")
+        b1 = turns.where("conv_id >= 'conv1' and conv_id < 'conv5'")
+        b2 = turns.where("conv_id >= 'conv5'")
+        process = ingest.make_canonical_merger(f"{d}/store", retain_snapshots=2)
+        process(b0, 0)
+        process(b1, 1)
+        after_first = _canonical_key(
+            ingest.latest_canonical_snapshot(spark, f"{d}/store")
+        )
+        process(b1, 1)  # retry of the SAME batch id
+        assert (
+            _canonical_key(ingest.latest_canonical_snapshot(spark, f"{d}/store"))
+            == after_first
+        )
+        process(b2, 2)
+        snaps = sorted(x for x in os.listdir(f"{d}/store") if x.startswith("snapshot="))
+        assert snaps == ["snapshot=1", "snapshot=2"]
+        # end state still ≡ full recompute after the retry
+        from dygiepp_spark.operators.canonicalize import alias_dict, canonical_triples
+
+        want = _canonical_key(
+            canonical_triples(relation_triples(turns), alias_dict(spark))
+        )
+        assert (
+            _canonical_key(ingest.latest_canonical_snapshot(spark, f"{d}/store"))
+            == want
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_session_windows(spark):
     d = tempfile.mkdtemp()
     try:
