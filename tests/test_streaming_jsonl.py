@@ -132,6 +132,137 @@ def test_canonical_merger_retry_idempotent(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_canonical_merger_random_schedules(spark):
+    """Hypothesis sweep of the snapshot-chain plumbing (the associativity
+    of the MERGE itself is swept separately in test_canonicalize.py):
+    random K-way conv partitions into ordered micro-batches, random
+    retries of the LATEST batch (the only retry foreachBatch can issue —
+    earlier batches are committed in the checkpoint and never re-run),
+    empty batches that advance the batch id without writing a snapshot,
+    and aggressive pruning (retain_snapshots=2) interacting with all of
+    it. Invariant: the surviving latest snapshot ≡ batch full recompute
+    over every non-empty batch."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dygiepp_spark.operators.canonicalize import alias_dict, canonical_triples
+
+    turns = synth_turns(spark, n_convs=8, seed=7).persist()
+    turns.count()
+    conv_ids = sorted(r["conv_id"] for r in turns.select("conv_id").distinct().collect())
+
+    @st.composite
+    def _schedule(draw):
+        k = draw(st.integers(min_value=1, max_value=4))
+        assign = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=k - 1),
+                min_size=len(conv_ids),
+                max_size=len(conv_ids),
+            )
+        )
+        retries = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=2), min_size=k, max_size=k
+            )
+        )
+        return assign, retries
+
+    @given(_schedule())
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def _run(data):
+        assign, retries = data
+        d = tempfile.mkdtemp()
+        try:
+            process = ingest.make_canonical_merger(f"{d}/store", retain_snapshots=2)
+            seen_any = False
+            for bid, n_retries in enumerate(retries):
+                convs = [c for c, b in zip(conv_ids, assign) if b == bid]
+                batch = turns.where(F.col("conv_id").isin(convs) if convs else F.lit(False))
+                for _ in range(1 + n_retries):
+                    process(batch, bid)
+                seen_any = seen_any or bool(convs)
+            if not seen_any:
+                assert not os.path.isdir(f"{d}/store") or not any(
+                    x.startswith("snapshot=") for x in os.listdir(f"{d}/store")
+                )
+                return
+            got = _canonical_key(
+                ingest.latest_canonical_snapshot(spark, f"{d}/store")
+            )
+            want = _canonical_key(
+                canonical_triples(relation_triples(turns), alias_dict(spark))
+            )
+            # full recompute over ONLY the assigned convs (every conv is
+            # assigned to exactly one batch, so that's the whole corpus)
+            assert got == want and len(got) > 0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    try:
+        _run()
+    finally:
+        turns.unpersist()
+
+
+def test_streaming_canonical_restart_from_checkpoint(spark):
+    """North-rule resumability, streaming face: STOP the canonical-store
+    query after draining the first arrivals, then start a NEW query with
+    the SAME checkpointLocation after more files land. The file-source
+    checkpoint must skip already-committed input, and the merger must
+    chain the new micro-batches onto the run-1 snapshots. The end-state
+    equality is discriminating, not just a smoke check: if the restarted
+    query re-extracted the run-1 turns, the MERGE would double-count
+    their n_support and the store would diverge from the batch full
+    recompute."""
+    from dygiepp_spark.operators.canonicalize import alias_dict, canonical_triples
+
+    d = tempfile.mkdtemp()
+    try:
+        turns = synth_turns(spark, n_convs=16, seed=11)
+        _write_flat(turns.where("conv_id < 'conv1'"), f"{d}/in", "a")
+        _write_flat(
+            turns.where("conv_id >= 'conv1' and conv_id < 'conv4'"), f"{d}/in", "b"
+        )
+
+        stream = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q1 = ingest.start_streaming_canonical(stream, f"{d}/store", f"{d}/ckpt")
+        q1.awaitTermination(120)
+        ids_after_run1 = sorted(
+            int(x.split("=", 1)[1])
+            for x in os.listdir(f"{d}/store")
+            if x.startswith("snapshot=")
+        )
+
+        # late arrivals, then a brand-new query object on the same checkpoint
+        _write_flat(turns.where("conv_id >= 'conv4'"), f"{d}/in", "c")
+        stream2 = ingest.read_turns_stream(spark, f"{d}/in", max_files=1)
+        q2 = ingest.start_streaming_canonical(stream2, f"{d}/store", f"{d}/ckpt")
+        q2.awaitTermination(120)
+
+        ids_after_run2 = sorted(
+            int(x.split("=", 1)[1])
+            for x in os.listdir(f"{d}/store")
+            if x.startswith("snapshot=")
+        )
+        # run 2 continued the batch-id chain (checkpoint resume), it did
+        # not restart at batch 0 over the whole input
+        assert max(ids_after_run2) > max(ids_after_run1)
+
+        got = _canonical_key(ingest.latest_canonical_snapshot(spark, f"{d}/store"))
+        want = _canonical_key(
+            canonical_triples(
+                relation_triples(spark.read.parquet(f"{d}/in")), alias_dict(spark)
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_session_windows(spark):
     d = tempfile.mkdtemp()
     try:
