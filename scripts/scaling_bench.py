@@ -34,16 +34,40 @@ def run_at(cpus: int, n_convs: int) -> dict:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}", *cmd]
     # a long ladder launches many back-to-back JVMs; the sandbox very
-    # occasionally kills one (transient, not reproducible standalone) —
-    # retry instead of aborting the whole measurement, and surface stderr
+    # occasionally kills one, and (observed r6) a job can HANG outright —
+    # JVM and Python worker both asleep on their socket, machine idle —
+    # so every attempt gets a hard timeout. Without it one wedged job
+    # stalls the whole ladder forever (subprocess.run waits unboundedly).
+    # 15 min is ~5× the slowest healthy level observed at this input
+    # size; a kill counts as a failed attempt and retries like any crash.
+    job_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_JOB_TIMEOUT", "900"))
     last_err = ""
     for attempt in range(3):
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True, cwd=REPO)
-        if out.returncode == 0 and out.stdout.strip():
-            return json.loads(out.stdout.strip().splitlines()[-1])
-        last_err = out.stderr[-2000:]
+        # own process group so a timeout kill reaps the Spark JVM
+        # grandchild too — subprocess.run(timeout=...) kills only the
+        # direct child, leaving a zombie JVM holding memory and cores
+        # under the next level's measurement
+        proc = subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO, start_new_session=True,
+        )
+        try:
+            stdout, stderr = proc.communicate(timeout=job_timeout)
+        except subprocess.TimeoutExpired:
+            import signal
+
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            last_err = f"timeout after {job_timeout}s (hung job group killed)"
+            print(f"[scaling_bench] level {cpus} attempt {attempt + 1}: {last_err}",
+                  file=sys.stderr)
+            time.sleep(30)
+            continue
+        if proc.returncode == 0 and stdout.strip():
+            return json.loads(stdout.strip().splitlines()[-1])
+        last_err = stderr[-2000:]
         print(f"[scaling_bench] level {cpus} attempt {attempt + 1} failed "
-              f"(rc={out.returncode}); stderr tail:\n{last_err}", file=sys.stderr)
+              f"(rc={proc.returncode}); stderr tail:\n{last_err}", file=sys.stderr)
         time.sleep(30)
     raise RuntimeError(f"scaling job at {cpus} cores failed 3 times: {last_err}")
 
@@ -133,10 +157,12 @@ def _attempt_log_rows(limit: int = 12) -> str:
     out = []
     for r in rows[-limit:]:
         band = r.get("reference_band")
+        note = f" — {r['note']}" if r.get("note") else ""
         out.append(
             f"| {r.get('when', '?')} | {r.get('window', '?')} "
             f"(canary {r.get('canary_tps', '?')} tps at "
-            f"{r.get('canary_cpus', '?')} cores vs band {band}) "
+            f"{r.get('canary_cpus', '?')} cores vs band {band}; "
+            f"n_convs {r.get('n_convs', '?')}){note} "
             f"| {r.get('per_pass_4to16', '?')} | {r.get('median_4to16', '?')} "
             f"| {'PASS' if r.get('pass') else 'FAIL'} |"
         )
@@ -160,6 +186,36 @@ def main() -> None:
     ]
     canary = _canary_gate(n_convs)
     print(f"[scaling_bench] window: {json.dumps(canary)}", file=sys.stderr)
+    # Optional canary-only probe mode: a degraded window means every ladder
+    # level is depressed by host steal and the attempt is a foreknown FAIL
+    # row — r5 burned two full ~40-min ladders that way. With
+    # SPARK_GRAFT_SCALING_SKIP_DEGRADED=1 a degraded canary logs a
+    # canary-only row (the probe itself stays auditable) and exits 2, so a
+    # retry loop can poll cheaply (~90 s per probe) and the full ladder
+    # launches — in this same invocation — only once the window is healthy.
+    # Default off: an unattended run still measures and auto-annotates.
+    if (
+        os.environ.get("SPARK_GRAFT_SCALING_SKIP_DEGRADED") == "1"
+        and canary["window"] == "degraded"
+    ):
+        import datetime
+
+        row = {
+            "when": datetime.datetime.now(datetime.timezone.utc).strftime(
+                "%Y-%m-%d %H:%MZ"
+            ),
+            "n_convs": n_convs,
+            **canary,
+            "per_pass_4to16": None,
+            "median_4to16": None,
+            "pass": False,
+            "note": "canary-only probe: window degraded, ladder not launched "
+            "(SPARK_GRAFT_SCALING_SKIP_DEGRADED=1)",
+        }
+        with open(LOG_PATH, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(json.dumps({**row, "metric": "scaling_canary_probe"}))
+        sys.exit(2)
     all_runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(rounds):
         for c in levels:
