@@ -20,10 +20,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def run_at(cpus: int, n_convs: int) -> dict:
-    env = dict(os.environ)
-    env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["SPARK_GRAFT_SCALING_CONVS"] = str(n_convs)
+def _job_cmd(cpus: int) -> list[str]:
     # Pin the process tree to exactly `cpus` physical cores: local[N] alone
     # does NOT bound CPU use — N JVM task threads plus N Python UDF workers
     # happily spread over all physical cores, which would make the "small
@@ -33,6 +30,17 @@ def run_at(cpus: int, n_convs: int) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "scaling_job.py")]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}", *cmd]
+    return cmd
+
+
+RETRY_SLEEP_SEC = 30
+
+
+def run_at(cpus: int, n_convs: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SCALING_CONVS"] = str(n_convs)
+    cmd = _job_cmd(cpus)
     # a long ladder launches many back-to-back JVMs; the sandbox very
     # occasionally kills one, and (observed r6) a job can HANG outright —
     # JVM and Python worker both asleep on their socket, machine idle —
@@ -61,14 +69,14 @@ def run_at(cpus: int, n_convs: int) -> dict:
             last_err = f"timeout after {job_timeout}s (hung job group killed)"
             print(f"[scaling_bench] level {cpus} attempt {attempt + 1}: {last_err}",
                   file=sys.stderr)
-            time.sleep(30)
+            time.sleep(RETRY_SLEEP_SEC)
             continue
         if proc.returncode == 0 and stdout.strip():
             return json.loads(stdout.strip().splitlines()[-1])
         last_err = stderr[-2000:]
         print(f"[scaling_bench] level {cpus} attempt {attempt + 1} failed "
               f"(rc={proc.returncode}); stderr tail:\n{last_err}", file=sys.stderr)
-        time.sleep(30)
+        time.sleep(RETRY_SLEEP_SEC)
     raise RuntimeError(f"scaling job at {cpus} cores failed 3 times: {last_err}")
 
 
