@@ -142,10 +142,16 @@ stopword_lex AS (SELECT * FROM (VALUES {', '.join(f"('{s}')" for s in STOPWORDS)
 """
 
 
-def q(select: str) -> str:
+def q(select: str, recursive: bool = False) -> str:
     """Compose the shared prelude with a final SELECT; a query-local
-    ``WITH x AS (...)`` block is spliced into the prelude's CTE list."""
+    ``WITH x AS (...)`` block is spliced into the prelude's CTE list.
+    ``recursive=True`` emits ``WITH RECURSIVE`` so a spliced CTE may
+    self-reference (DuckDB, like Postgres, accepts non-recursive CTEs
+    under the RECURSIVE keyword — used by the kg_components oracle)."""
+    prelude = (
+        PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1) if recursive else PRELUDE
+    )
     s = select.lstrip()
     if s.upper().startswith("WITH "):
-        return PRELUDE + ",\n" + s[5:]
-    return PRELUDE + "\n" + s
+        return prelude + ",\n" + s[5:]
+    return prelude + "\n" + s

@@ -210,6 +210,53 @@ def canonical_merge_increment(spark, sf_dir, persist="auto"):
     )
 
 
+def _kg_canonical(spark, sf_dir, persist="auto"):
+    """Shared input for the KG-analytics family: the canonical triple
+    store, persisted adaptively (every KG op branches over it ≥2 times —
+    without the persist each branch re-runs the extraction lineage,
+    the failure mode the plan pin forbids; decide_on = the file-backed
+    turns scan, whose size Catalyst estimates accurately)."""
+    turns = _turns(spark, sf_dir)
+    canon = canonicalize.canonical_triples(
+        extract.relation_triples(turns, CFG), canonicalize.alias_dict(spark)
+    )
+    return _cache.maybe_persist(canon, decide_on=turns, persist=persist)
+
+
+def kg_degree_stats(spark, sf_dir):
+    """KG analytics — per-entity degree/support profile over the
+    materialized canonical KG (north-star 'graph materialize' consumer;
+    hub detection feeds skew-aware planning downstream). One union + one
+    partial-agg shuffle (operators/kg.py)."""
+    from dygiepp_spark.operators import kg
+
+    return _longs(kg.degree_stats(_kg_canonical(spark, sf_dir)))
+
+
+def kg_components(spark, sf_dir):
+    """KG analytics — weakly-connected components of the entity graph via
+    the iterative large/small-star algorithm (operators/graph.py — the
+    public algorithm behind GraphFrames CC, named by the north star).
+    This gates the generic ITERATIVE CC path cross-engine: the oracle is
+    an exact reachability fixpoint (recursive CTE), so any Spark
+    convergence bug surfaces as a hash mismatch. component = min entity
+    id (ASCII → bytewise min agrees across engines)."""
+    from dygiepp_spark.operators import kg
+
+    return _longs(kg.kg_components(_kg_canonical(spark, sf_dir)))
+
+
+def kg_pagerank(spark, sf_dir):
+    """KG analytics — fixed-3-iteration PageRank in scaled integer
+    arithmetic (operators/kg.py: rank DIV out_deg message passing,
+    85/100 damping, all BIGINT so Spark div == DuckDB // exactly).
+    Oracle = 3 unrolled CTE iterations. Entity ranking for KG-grounded
+    retrieval over the constructed store."""
+    from dygiepp_spark.operators import kg
+
+    return _longs(kg.pagerank_quantized(_kg_canonical(spark, sf_dir), iterations=3))
+
+
 def event_triggers(spark, sf_dir):
     """E5 — trigger decode (events.py:341-357)."""
     return _longs(extract.event_triggers(_turns(spark, sf_dir)))
@@ -381,6 +428,63 @@ def multi_dataset_union(spark, sf_dir):
 
 _B = "BIGINT"
 
+# Shared CTEs for the KG-analytics family: the canonical triple store
+# (same construction as the canonical_triples oracle) reduced to an
+# entity graph. kg_nodes uses plain UNION (distinct); self-loop-only
+# entities appear in kg_nodes but not kg_edges.
+_KG_CTES = """kg_canon AS (
+          SELECT COALESCE(sa.canonical_id,
+                          'ENT_' || upper(replace(t.subj_surface, ' ', '_'))) AS subj,
+                 t.pred,
+                 COALESCE(oa.canonical_id,
+                          'ENT_' || upper(replace(t.obj_surface, ' ', '_'))) AS obj,
+                 COUNT(*) AS n_support
+          FROM triples t
+          LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
+          LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
+          GROUP BY 1, 2, 3
+        ),
+        kg_edges AS (
+          SELECT DISTINCT subj AS src, obj AS dst FROM kg_canon WHERE subj <> obj
+        ),
+        kg_nodes AS (
+          SELECT subj AS entity FROM kg_canon UNION SELECT obj FROM kg_canon
+        )"""
+
+
+def _kg_pagerank_ctes(iters: int) -> str:
+    """Unrolled integer-PageRank CTE chain — the DuckDB twin of
+    operators/kg.py:pagerank_quantized, iteration for iteration. All
+    operands non-negative BIGINT: DuckDB's floor ``//`` == Spark's
+    truncating ``div`` there, so rank_q hash-matches exactly."""
+    from dygiepp_spark.operators.kg import PAGERANK_DAMPING_NUM as _D
+    from dygiepp_spark.operators.kg import PAGERANK_SCALE as _S
+
+    base = ((100 - _D) * _S) // 100
+    parts = [
+        "kg_outdeg AS (SELECT src, COUNT(*) AS out_deg FROM kg_edges GROUP BY src)",
+        f"pr0 AS (SELECT entity, CAST({_S} AS {_B}) AS rank_q FROM kg_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""pc{i} AS (
+          SELECT e.dst, CAST(SUM(r.rank_q // o.out_deg) AS {_B}) AS contrib
+          FROM kg_edges e
+          JOIN kg_outdeg o ON e.src = o.src
+          JOIN pr{i - 1} r ON e.src = r.entity
+          GROUP BY e.dst
+        )"""
+        )
+        parts.append(
+            f"""pr{i} AS (
+          SELECT n.entity,
+                 CAST({base} + ({_D} * COALESCE(c.contrib, 0)) // 100 AS {_B}) AS rank_q
+          FROM kg_nodes n LEFT JOIN pc{i} c ON n.entity = c.dst
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
 _SQL: dict[str, str] = {
     "doc_assembly_offsets": q(
         f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
@@ -464,6 +568,43 @@ _SQL: dict[str, str] = {
         LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
         LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
         GROUP BY 1, 2, 3"""
+    ),
+    "kg_degree_stats": q(
+        f"""WITH {_KG_CTES}
+        SELECT entity,
+               CAST(SUM(is_out) AS {_B}) AS out_degree,
+               CAST(SUM(is_in) AS {_B}) AS in_degree,
+               CAST(SUM(n_support) AS {_B}) AS total_support
+        FROM (
+          SELECT subj AS entity, 1 AS is_out, 0 AS is_in, n_support FROM kg_canon
+          UNION ALL
+          SELECT obj AS entity, 0 AS is_out, 1 AS is_in, n_support FROM kg_canon
+        )
+        GROUP BY entity"""
+    ),
+    # exact reachability fixpoint — the oracle for Spark's ITERATIVE
+    # large/small-star CC (operators/graph.py): component = min entity
+    # reachable in the symmetrized graph; isolated entities map to self
+    "kg_components": q(
+        f"""WITH {_KG_CTES},
+        kg_sym AS (
+          SELECT src AS a, dst AS b FROM kg_edges
+          UNION
+          SELECT dst AS a, src AS b FROM kg_edges
+        ),
+        kg_walk(node, reach) AS (
+          SELECT entity, entity FROM kg_nodes
+          UNION
+          SELECT w.node, s.b FROM kg_walk w JOIN kg_sym s ON s.a = w.reach
+        )
+        SELECT node AS entity, MIN(reach) AS component
+        FROM kg_walk GROUP BY node""",
+        recursive=True,
+    ),
+    "kg_pagerank": q(
+        f"""WITH {_KG_CTES},
+        {_kg_pagerank_ctes(3)}
+        SELECT entity, rank_q FROM pr3"""
     ),
     "event_triggers": q(
         f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
@@ -1803,6 +1944,9 @@ QUERIES: dict[str, QuerySpec] = {
     "canonical_merge_increment": QuerySpec(
         canonical_merge_increment, _SQL["canonical_triples"]
     ),
+    "kg_degree_stats": QuerySpec(kg_degree_stats, _SQL["kg_degree_stats"]),
+    "kg_components": QuerySpec(kg_components, _SQL["kg_components"]),
+    "kg_pagerank": QuerySpec(kg_pagerank, _SQL["kg_pagerank"]),
     "event_triggers": QuerySpec(event_triggers, _SQL["event_triggers"]),
     "event_arguments": QuerySpec(event_arguments, _SQL["event_arguments"]),
     "event_arg_stats": QuerySpec(event_arg_stats, _SQL["event_arg_stats"]),
@@ -1846,6 +1990,15 @@ _ROTATED_TAIL = [
     # rotated in to make window room for the new canonical_merge_increment:
     # driver-green r01/r02/r04, multimodal.py untouched this round,
     # re-verified locally via check_gate)
+    # (r6: embedding_dot_topk / embedding_lsh_buckets /
+    # embedding_bucket_stats rotated in to make window room for the new
+    # KG-analytics family — each driver-green r04+r05, similarity.py
+    # untouched this round, re-verified locally via check_gate;
+    # embedding_ivf_fixed and embedding_near_dup stay in-window as the
+    # family's scale-path representatives)
+    "embedding_dot_topk",
+    "embedding_lsh_buckets",
+    "embedding_bucket_stats",
     "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",

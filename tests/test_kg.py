@@ -1,0 +1,112 @@
+"""KG-analytics operators (operators/kg.py): degree/support profile,
+weakly-connected components, fixed-iteration integer PageRank over the
+canonical triple store. Cross-engine exactness is gated by the driver
+(registry kg_degree_stats / kg_components / kg_pagerank); these tests pin
+the semantics on hand-checked graphs plus a pure-Python PageRank twin on
+a random graph — including the shapes the sf corpus doesn't produce
+(dangling nodes, isolated self-loop entities, long paths)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from dygiepp_spark.operators import kg
+
+
+def _canon(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj_canonical string, pred string, obj_canonical string, n_support long"
+    )
+
+
+def test_degree_stats_counts_both_sides_and_self_loops(spark):
+    canon = _canon(
+        spark,
+        [
+            ("A", "P", "B", 3),
+            ("A", "Q", "B", 1),  # parallel edge under another predicate
+            ("B", "P", "C", 2),
+            ("D", "P", "D", 5),  # self-loop: counts on both sides
+        ],
+    )
+    got = {r["entity"]: r.asDict() for r in kg.degree_stats(canon).collect()}
+    assert got["A"] == {"entity": "A", "out_degree": 2, "in_degree": 0, "total_support": 4}
+    assert got["B"] == {"entity": "B", "out_degree": 1, "in_degree": 2, "total_support": 6}
+    assert got["C"] == {"entity": "C", "out_degree": 0, "in_degree": 1, "total_support": 2}
+    assert got["D"] == {"entity": "D", "out_degree": 1, "in_degree": 1, "total_support": 10}
+
+
+def test_kg_components_two_islands_and_isolated_self_loop(spark):
+    canon = _canon(
+        spark,
+        [
+            ("B", "P", "A", 1),
+            ("B", "P", "C", 1),  # island 1: {A, B, C} -> min A
+            ("Y", "P", "Z", 1),  # island 2: {Y, Z} -> min Y
+            ("Q", "P", "Q", 1),  # self-loop only: isolated -> own component
+        ],
+    )
+    got = {r["entity"]: r["component"] for r in kg.kg_components(canon).collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "Y": "Y", "Z": "Y", "Q": "Q"}
+
+
+def test_kg_components_long_path_converges(spark):
+    # a 64-node path needs O(log n) star rounds; naive min-propagation
+    # with a too-small iteration budget would leave stale labels
+    rows = [(f"N{i:03d}", "P", f"N{i + 1:03d}", 1) for i in range(63)]
+    got = kg.kg_components(_canon(spark, rows)).collect()
+    assert len(got) == 64
+    assert {r["component"] for r in got} == {"N000"}
+
+
+def _pagerank_reference(edges, nodes, iterations, scale, damping_num):
+    """Pure-Python integer twin of kg.pagerank_quantized."""
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    base = ((100 - damping_num) * scale) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // out_deg[s]
+        rank = {n: base + (damping_num * contrib[n]) // 100 for n in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_pagerank_matches_python_reference_on_random_graph(spark, iterations):
+    rng = random.Random(42)
+    nodes = [f"E{i:02d}" for i in range(20)]
+    edges = set()
+    while len(edges) < 45:
+        s, d = rng.sample(nodes, 2)
+        edges.add((s, d))
+    # E19 dangling (no out-edges): receives mass, contributes none
+    edges = {(s, d) for (s, d) in edges if s != "E19"}
+    edges.add(("E00", "E19"))
+    canon = _canon(spark, [(s, "P", d, 1) for s, d in sorted(edges)])
+    got = {
+        r["entity"]: r["rank_q"]
+        for r in kg.pagerank_quantized(canon, iterations=iterations).collect()
+    }
+    want = _pagerank_reference(
+        sorted(edges), nodes, iterations, kg.PAGERANK_SCALE, kg.PAGERANK_DAMPING_NUM
+    )
+    # only nodes that appear in the canonical table exist in the KG
+    want = {n: v for n, v in want.items() if n in got}
+    assert got == want
+    assert len(got) == 20
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # star pointing at H: H's rank grows, leaves' ranks shrink to base+tail
+    rows = [(f"L{i}", "P", "H", 1) for i in range(5)]
+    got = {
+        r["entity"]: r["rank_q"]
+        for r in kg.pagerank_quantized(_canon(spark, rows), iterations=3).collect()
+    }
+    assert got["H"] > got["L0"]
+    assert all(got[f"L{i}"] == got["L0"] for i in range(5))

@@ -270,3 +270,33 @@ def test_coref_propagation_persist_regimes(spark):
     auto_plan = _plan(spark, "coref_propagation")
     assert "InMemoryTableScan" not in auto_plan
     assert _count_scans(auto_plan) == 6, auto_plan
+
+
+def test_kg_family_persist_regimes(spark):
+    """The KG-analytics family branches over the canonical triple store
+    (degree: 2-way union; components: edges + nodes; pagerank: edges,
+    out-degrees, nodes, and a rank join per iteration). SCALE regime
+    (persist=True — what auto picks above the crossover): the tracked
+    persist serves every branch from cache, so at most ONE parquet scan
+    survives — re-running the extraction lineage once per branch (7+
+    times for 3-iteration pagerank) is the 100 TB failure mode this
+    pins out. TINY regime (registry default auto at sf0.001): no cache,
+    recompute per branch — cheaper below the measured crossover."""
+    from dygiepp_spark import registry
+    from dygiepp_spark.operators import kg
+    from dygiepp_spark.plans import cache
+
+    with cache.scoped():
+        canon = registry._kg_canonical(spark, SF, persist=True)
+        plan = kg.pagerank_quantized(canon, iterations=3)._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "InMemoryTableScan" in plan
+        assert _count_scans(plan) <= 1, plan
+
+    # auto at sf0.001: below the crossover -> no materialization job
+    plan_auto = _plan(spark, "kg_degree_stats")
+    assert "InMemoryTableScan" not in plan_auto
