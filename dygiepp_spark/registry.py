@@ -210,6 +210,23 @@ def canonical_merge_increment(spark, sf_dir, persist="auto"):
     )
 
 
+def canonical_triples_coref(spark, sf_dir):
+    """FULL north-star canonicalization — components over (coref ∪ alias)
+    evidence (canonicalize.canonicalize_with_coref, the pipeline's
+    do_coref path, previously exercised only through plans/pipeline.py):
+    every mention in a coref cluster inherits the cluster representative's
+    surface (min doc-position member) BEFORE alias linking, then global
+    dedup with support counts. The oracle replays the same rewrite over
+    the prelude's clusters/triples CTEs, so the coref-aware rewrite is
+    hash-gated end-to-end, not just plumbed."""
+    turns = _turns(spark, sf_dir)
+    t = extract.relation_triples(turns, CFG)
+    cl = coref.clusters_via_components(turns)
+    return _longs(
+        canonicalize.canonicalize_with_coref(t, cl, canonicalize.alias_dict(spark))
+    )
+
+
 def _kg_canonical(spark, sf_dir, persist="auto"):
     """Shared input for the KG-analytics family: the canonical triple
     store, persisted adaptively (every KG op branches over it ≥2 times —
@@ -567,6 +584,47 @@ _SQL: dict[str, str] = {
         FROM triples t
         LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
         LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
+        GROUP BY 1, 2, 3"""
+    ),
+    # the coref-aware rewrite replayed in SQL: cluster representative =
+    # min-doc_pos member's surface; mentions rewrite to it, then the same
+    # alias link + dedup as canonical_triples
+    "canonical_triples_coref": q(
+        """WITH crep AS (
+          SELECT conv_id, cluster_id, surface AS rep_surface
+          FROM (
+            SELECT conv_id, cluster_id, surface,
+                   row_number() OVER (
+                     PARTITION BY conv_id, cluster_id ORDER BY doc_pos) AS rn
+            FROM clusters
+          ) WHERE rn = 1
+        ),
+        cmem AS (
+          SELECT c.conv_id, c.turn_idx, c.start, r.rep_surface
+          FROM clusters c
+          JOIN crep r ON c.conv_id = r.conv_id AND c.cluster_id = r.cluster_id
+        ),
+        trew AS (
+          SELECT COALESCE(ms.rep_surface, t.subj_surface) AS subj_surface,
+                 t.pred,
+                 COALESCE(mo.rep_surface, t.obj_surface) AS obj_surface
+          FROM triples t
+          LEFT JOIN cmem ms ON t.conv_id = ms.conv_id
+                           AND t.turn_idx = ms.turn_idx
+                           AND t.subj_start = ms.start
+          LEFT JOIN cmem mo ON t.conv_id = mo.conv_id
+                           AND t.turn_idx = mo.turn_idx
+                           AND t.obj_start = mo.start
+        )
+        SELECT COALESCE(sa.canonical_id,
+                        'ENT_' || upper(replace(w.subj_surface, ' ', '_'))) AS subj_canonical,
+               w.pred,
+               COALESCE(oa.canonical_id,
+                        'ENT_' || upper(replace(w.obj_surface, ' ', '_'))) AS obj_canonical,
+               COUNT(*) AS n_support
+        FROM trew w
+        LEFT JOIN alias_lex sa ON lower(w.subj_surface) = sa.surface_form
+        LEFT JOIN alias_lex oa ON lower(w.obj_surface) = oa.surface_form
         GROUP BY 1, 2, 3"""
     ),
     "kg_degree_stats": q(
@@ -1944,6 +2002,9 @@ QUERIES: dict[str, QuerySpec] = {
     "canonical_merge_increment": QuerySpec(
         canonical_merge_increment, _SQL["canonical_triples"]
     ),
+    "canonical_triples_coref": QuerySpec(
+        canonical_triples_coref, _SQL["canonical_triples_coref"]
+    ),
     "kg_degree_stats": QuerySpec(kg_degree_stats, _SQL["kg_degree_stats"]),
     "kg_components": QuerySpec(kg_components, _SQL["kg_components"]),
     "kg_pagerank": QuerySpec(kg_pagerank, _SQL["kg_pagerank"]),
@@ -1999,6 +2060,11 @@ _ROTATED_TAIL = [
     "embedding_dot_topk",
     "embedding_lsh_buckets",
     "embedding_bucket_stats",
+    # (r6: quality_scores rotated in for the new canonical_triples_coref —
+    # driver-green r04+r05, text_quality.py untouched this round,
+    # re-verified locally via check_gate; token_counts/doc_fingerprints of
+    # the same family are already tail, lang_id_predict stays in-window)
+    "quality_scores",
     "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",
