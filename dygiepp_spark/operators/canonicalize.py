@@ -27,8 +27,20 @@ ALIASES: dict[str, str] = {
 
 
 def alias_dict(spark: SparkSession) -> DataFrame:
+    # Built from pandas so the plan is a LocalRelation, not a Python-RDD
+    # scan: createDataFrame(list) yields LogicalRDD, and every execution
+    # that broadcasts it then launches a Python-worker job per broadcast
+    # build (two per canonical_triples run — measured as a fixed ~0.5 s of
+    # driver latency that dominates short wide-cluster runs). A
+    # LocalRelation broadcast collects driver-side with no job, and the
+    # two link joins' identical subtrees canonicalize equal, so the
+    # exchange is built once and reused.
+    import pandas as pd
+
     rows = [(k, v) for k, v in sorted(ALIASES.items())]
-    return spark.createDataFrame(rows, "surface_form string, canonical_id string")
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["surface_form", "canonical_id"])
+    )
 
 
 def link_surface(df: DataFrame, surface_col: str, out_col: str, aliases: DataFrame) -> DataFrame:
