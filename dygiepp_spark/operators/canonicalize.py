@@ -102,6 +102,109 @@ def merge_canonical(existing: DataFrame, updates: DataFrame) -> DataFrame:
     )
 
 
+def deletion_variants(col) -> "F.Column":
+    """``{s} ∪ D1(s)`` — the string plus every single-character deletion,
+    lowercased and deduplicated. Two strings at edit distance ≤ 1 always
+    share a variant (s = t; t ∈ D1(s); s ∈ D1(t); or D1 at the substituted
+    position coincides), so an equi-join on variants is a complete blocking
+    key for distance-1 matches — the FastSS deletion-neighborhood scheme.
+
+    Pure array algebra: |s|+1 variants per string, no shuffle.
+    """
+    s = F.lower(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - F.lit(1)),
+            s.substr(i + F.lit(1), F.length(s) - i),
+        ),
+    )
+    # sequence(1, 0) would yield [1, 0] (Spark infers step -1): guard empties
+    return F.when(F.length(s) == 0, F.array(s)).otherwise(
+        F.array_distinct(F.concat(F.array(s), dels))
+    )
+
+
+def fuzzy_alias_map(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Distance-≤1 surface→canonical mapping via deletion-neighborhood
+    blocking + exact Levenshtein verify.
+
+    ``surfaces`` has one column ``surface`` (distinct, lowercase). Returns
+    (surface, matched_alias, canonical_id, dist) — at most one row per
+    surface, tie-broken deterministically by (dist, matched_alias,
+    canonical_id) ascending, so an exact hit always beats a fuzzy one.
+
+    Scale: the variant explode runs over DISTINCT surfaces (vocabulary-
+    bounded, not corpus-bounded) and the alias side is broadcast — the
+    candidate join is an equi-join on the variant key, never a cross join;
+    Levenshtein runs on candidates only.
+    """
+    sv = surfaces.select(
+        F.col("surface").alias("_surf"),
+        F.explode(deletion_variants(F.col("surface"))).alias("_var"),
+    )
+    av = aliases.select(
+        F.lower(F.col("surface_form")).alias("_asf"),
+        F.col("canonical_id").alias("_cid"),
+    ).select("_asf", "_cid", F.explode(deletion_variants(F.col("_asf"))).alias("_var"))
+    cand = (
+        sv.join(F.broadcast(av), "_var")
+        .select("_surf", "_asf", "_cid")
+        .distinct()
+        .withColumn("_dist", F.levenshtein("_surf", "_asf"))
+        .where(F.col("_dist") <= 1)
+    )
+    best = cand.groupBy("_surf").agg(
+        F.min(F.struct("_dist", "_asf", "_cid")).alias("_b")
+    )
+    return best.select(
+        F.col("_surf").alias("surface"),
+        F.col("_b._asf").alias("matched_alias"),
+        F.col("_b._cid").alias("canonical_id"),
+        F.col("_b._dist").cast("bigint").alias("dist"),
+    )
+
+
+def link_surface_fuzzy(
+    df: DataFrame, surface_col: str, out_col: str, aliases: DataFrame
+) -> DataFrame:
+    """Typo-tolerant entity link: exact alias hit → canonical_id; else a
+    distance-1 alias hit (deterministic tie-break); else the same
+    'ENT_' + upper(surface) fallback as :func:`link_surface`.
+
+    The mapping is resolved once over the distinct surfaces and joined
+    back — the per-mention table is never variant-exploded.
+    """
+    surf = df.select(F.lower(F.col(surface_col)).alias("surface")).distinct()
+    mapping = fuzzy_alias_map(surf, aliases).select(
+        F.col("surface").alias("_surf"), F.col("canonical_id").alias("_fcid")
+    )
+    return (
+        df.join(mapping, F.lower(F.col(surface_col)) == F.col("_surf"), "left")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col("_fcid"),
+                F.concat(
+                    F.lit("ENT_"), F.upper(F.regexp_replace(surface_col, " ", "_"))
+                ),
+            ),
+        )
+        .drop("_surf", "_fcid")
+    )
+
+
+def canonical_triples_fuzzy(triples: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Canonical triples with typo-tolerant linking on both endpoints —
+    :func:`canonical_triples` with :func:`link_surface_fuzzy` in the link
+    slot. Same one-shuffle dedup shape."""
+    linked = link_surface_fuzzy(triples, "subj_surface", "subj_canonical", aliases)
+    linked = link_surface_fuzzy(linked, "obj_surface", "obj_canonical", aliases)
+    return linked.groupBy("subj_canonical", "pred", "obj_canonical").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_support")
+    )
+
+
 def canonicalize_with_coref(
     triples: DataFrame, clusters: DataFrame, aliases: DataFrame
 ) -> DataFrame:

@@ -227,6 +227,77 @@ def canonical_triples_coref(spark, sf_dir):
     )
 
 
+def _typo_col(col: str):
+    """Deterministic distance-1 perturbation for exercising the fuzzy
+    linker: drop the last char (deletion typo) when length%3==0, duplicate
+    the first char (insertion typo) when length%3==1, unchanged otherwise
+    — all on words longer than 3 chars. Pure column exprs, replayed
+    verbatim in the oracle."""
+    s = F.lower(F.col(col))
+    n = F.length(s)
+    return (
+        F.when((n > 3) & (n % 3 == 0), s.substr(F.lit(1), n - F.lit(1)))
+        .when((n > 3) & (n % 3 == 1), F.concat(s.substr(F.lit(1), F.lit(1)), s))
+        .otherwise(s)
+    )
+
+
+def entity_link_fuzzy(spark, sf_dir):
+    """Typo-tolerant entity linking over the corpus surface vocabulary
+    (north-star 'entity linking' slot, upgraded from exact-match):
+    deterministic distance-1 typos of every distinct triple surface are
+    linked back via deletion-neighborhood (FastSS) blocking + exact
+    levenshtein≤1 verify (canonicalize.fuzzy_alias_map). Scale: variant
+    explode over DISTINCT surfaces only (vocabulary-bounded), alias side
+    broadcast, equi-join blocking — no cross join; the oracle replays
+    blocking AND verify, so a recall hole in the blocking scheme is a
+    row-count mismatch, not just a wrong value."""
+    t = extract.relation_triples(_turns(spark, sf_dir), CFG)
+    origs = (
+        t.select(F.col("subj_surface").alias("s"))
+        .unionByName(t.select(F.col("obj_surface").alias("s")))
+        .select(F.lower("s").alias("orig"))
+        .distinct()
+    )
+    typos = origs.withColumn("typo", _typo_col("orig"))
+    mapping = canonicalize.fuzzy_alias_map(
+        typos.select(F.col("typo").alias("surface")).distinct(),
+        canonicalize.alias_dict(spark),
+    )
+    out = typos.join(
+        mapping, typos["typo"] == mapping["surface"], "left"
+    ).select(
+        "orig",
+        "typo",
+        F.coalesce(
+            F.col("canonical_id"),
+            F.concat(F.lit("ENT_"), F.upper(F.regexp_replace("typo", " ", "_"))),
+        ).alias("canonical_id"),
+        F.coalesce(F.col("matched_alias"), F.lit("")).alias("matched_alias"),
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("dist"),
+        F.when(F.col("dist") == 0, F.lit("exact"))
+        .when(F.col("dist") == 1, F.lit("fuzzy"))
+        .otherwise(F.lit("fallback"))
+        .alias("method"),
+    )
+    return out
+
+
+def canonical_triples_fuzzy(spark, sf_dir):
+    """Canonical triples over a typo-corrupted corpus with the fuzzy
+    linker on both endpoints (canonicalize.canonical_triples_fuzzy): the
+    deterministic distance-1 perturbation from `entity_link_fuzzy` is
+    applied to every subj/obj surface, and fuzzy linking must repair
+    alias-vocabulary typos back to their canonical ids. Gates the full
+    rewrite path, not just the mapping table."""
+    t = extract.relation_triples(_turns(spark, sf_dir), CFG)
+    for side in ("subj", "obj"):
+        t = t.withColumn(f"{side}_surface", _typo_col(f"{side}_surface"))
+    return _longs(
+        canonicalize.canonical_triples_fuzzy(t, canonicalize.alias_dict(spark))
+    )
+
+
 def _kg_canonical(spark, sf_dir, persist="auto"):
     """Shared input for the KG-analytics family: the canonical triple
     store, persisted adaptively (every KG op branches over it ≥2 times —
@@ -469,6 +540,51 @@ _KG_CTES = """kg_canon AS (
         )"""
 
 
+def _typo_sql(x: str) -> str:
+    """The oracle twin of `_typo_col` — deterministic distance-1 typo."""
+    return (
+        f"CASE WHEN length({x}) > 3 AND length({x}) % 3 = 0"
+        f" THEN substring({x}, 1, length({x}) - 1)"
+        f" WHEN length({x}) > 3 AND length({x}) % 3 = 1"
+        f" THEN substring({x}, 1, 1) || {x}"
+        f" ELSE {x} END"
+    )
+
+
+# Fuzzy entity-link mapping — the oracle twin of
+# canonicalize.fuzzy_alias_map: deletion-neighborhood blocking (string ∪
+# every single-char deletion as join keys) + exact levenshtein≤1 verify +
+# the (dist, alias, canonical_id) deterministic tie-break. Expects a
+# query-local CTE `fz_surfaces(surface)` with the distinct lowercase
+# surfaces to link.
+_FUZZY_CTES = """fz_sv AS (
+          SELECT surface, unnest(list_distinct(list_prepend(surface,
+                   list_transform(range(1, length(surface) + 1),
+                     i -> substring(surface, 1, i - 1) || substring(surface, i + 1))
+                 ))) AS var
+          FROM fz_surfaces
+        ),
+        fz_av AS (
+          SELECT asf, cid, unnest(list_distinct(list_prepend(asf,
+                   list_transform(range(1, length(asf) + 1),
+                     i -> substring(asf, 1, i - 1) || substring(asf, i + 1))
+                 ))) AS var
+          FROM (SELECT lower(surface_form) AS asf, canonical_id AS cid
+                FROM alias_lex)
+        ),
+        fz_best AS (
+          SELECT surface, asf AS matched_alias, cid AS canonical_id, dist
+          FROM (
+            SELECT DISTINCT s.surface, a.asf, a.cid,
+                   levenshtein(s.surface, a.asf) AS dist
+            FROM fz_sv s JOIN fz_av a USING (var)
+          )
+          WHERE dist <= 1
+          QUALIFY row_number() OVER (
+            PARTITION BY surface ORDER BY dist, asf, cid) = 1
+        )"""
+
+
 def _kg_pagerank_ctes(iters: int) -> str:
     """Unrolled integer-PageRank CTE chain — the DuckDB twin of
     operators/kg.py:pagerank_quantized, iteration for iteration. All
@@ -625,6 +741,50 @@ _SQL: dict[str, str] = {
         FROM trew w
         LEFT JOIN alias_lex sa ON lower(w.subj_surface) = sa.surface_form
         LEFT JOIN alias_lex oa ON lower(w.obj_surface) = oa.surface_form
+        GROUP BY 1, 2, 3"""
+    ),
+    "entity_link_fuzzy": q(
+        f"""WITH fz_origs AS (
+          SELECT DISTINCT lower(s) AS orig FROM (
+            SELECT subj_surface AS s FROM triples
+            UNION ALL SELECT obj_surface AS s FROM triples)
+        ),
+        fz_typos AS (
+          SELECT orig, {_typo_sql('orig')} AS typo FROM fz_origs
+        ),
+        fz_surfaces AS (SELECT DISTINCT typo AS surface FROM fz_typos),
+        {_FUZZY_CTES}
+        SELECT t.orig, t.typo,
+               COALESCE(b.canonical_id,
+                        'ENT_' || upper(replace(t.typo, ' ', '_'))) AS canonical_id,
+               COALESCE(b.matched_alias, '') AS matched_alias,
+               CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist,
+               CASE WHEN b.dist = 0 THEN 'exact'
+                    WHEN b.dist = 1 THEN 'fuzzy'
+                    ELSE 'fallback' END AS method
+        FROM fz_typos t LEFT JOIN fz_best b ON t.typo = b.surface"""
+    ),
+    "canonical_triples_fuzzy": q(
+        f"""WITH fz_trip AS (
+          SELECT {_typo_sql('lower(subj_surface)')} AS subj_surface,
+                 pred,
+                 {_typo_sql('lower(obj_surface)')} AS obj_surface
+          FROM triples
+        ),
+        fz_surfaces AS (
+          SELECT subj_surface AS surface FROM fz_trip
+          UNION SELECT obj_surface FROM fz_trip
+        ),
+        {_FUZZY_CTES}
+        SELECT COALESCE(bs.canonical_id,
+                        'ENT_' || upper(replace(w.subj_surface, ' ', '_'))) AS subj_canonical,
+               w.pred,
+               COALESCE(bo.canonical_id,
+                        'ENT_' || upper(replace(w.obj_surface, ' ', '_'))) AS obj_canonical,
+               COUNT(*) AS n_support
+        FROM fz_trip w
+        LEFT JOIN fz_best bs ON w.subj_surface = bs.surface
+        LEFT JOIN fz_best bo ON w.obj_surface = bo.surface
         GROUP BY 1, 2, 3"""
     ),
     "kg_degree_stats": q(
@@ -2005,6 +2165,10 @@ QUERIES: dict[str, QuerySpec] = {
     "canonical_triples_coref": QuerySpec(
         canonical_triples_coref, _SQL["canonical_triples_coref"]
     ),
+    "entity_link_fuzzy": QuerySpec(entity_link_fuzzy, _SQL["entity_link_fuzzy"]),
+    "canonical_triples_fuzzy": QuerySpec(
+        canonical_triples_fuzzy, _SQL["canonical_triples_fuzzy"]
+    ),
     "kg_degree_stats": QuerySpec(kg_degree_stats, _SQL["kg_degree_stats"]),
     "kg_components": QuerySpec(kg_components, _SQL["kg_components"]),
     "kg_pagerank": QuerySpec(kg_pagerank, _SQL["kg_pagerank"]),
@@ -2065,6 +2229,13 @@ _ROTATED_TAIL = [
     # re-verified locally via check_gate; token_counts/doc_fingerprints of
     # the same family are already tail, lang_id_predict stays in-window)
     "quality_scores",
+    # (r6: antecedent_stats / distance_bucket_hist rotated in to make
+    # window room for the new fuzzy entity-linking pair — each
+    # driver-green r04+r05, pruning.py untouched this round, re-verified
+    # locally via check_gate; prune_topk stays in-window as the pruning
+    # family's representative)
+    "antecedent_stats",
+    "distance_bucket_hist",
     "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",

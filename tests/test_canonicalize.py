@@ -80,3 +80,108 @@ def test_merge_canonical_fold_equals_full_recompute(spark, data):
     got = sorted(tuple(r[c] for c in key) for r in merged.collect())
     want = sorted(tuple(r[c] for c in key) for r in full.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------- fuzzy link
+
+def _fuzzy_map(spark, surfaces):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"surface": surfaces}))
+    rows = canonicalize.fuzzy_alias_map(
+        df, canonicalize.alias_dict(spark)
+    ).collect()
+    return {r["surface"]: (r["matched_alias"], r["canonical_id"], r["dist"]) for r in rows}
+
+
+def test_fuzzy_alias_map_exact_and_distance_one(spark):
+    got = _fuzzy_map(
+        spark,
+        [
+            "order",   # exact
+            "ordr",    # deletion
+            "oorder",  # insertion
+            "ardor",   # dist 2 — must NOT match
+            "xrder",   # substitution
+            "strea",   # deletion of 'stream'
+            "xyzzy",   # nothing within dist 1
+        ],
+    )
+    assert got["order"] == ("order", "ENT_ORDER", 0)
+    assert got["ordr"] == ("order", "ENT_ORDER", 1)
+    assert got["oorder"] == ("order", "ENT_ORDER", 1)
+    assert got["xrder"] == ("order", "ENT_ORDER", 1)
+    assert got["strea"] == ("stream", "ENT_DATASET", 1)
+    assert "ardor" not in got
+    assert "xyzzy" not in got
+
+
+def test_fuzzy_alias_map_tie_breaks_deterministically(spark):
+    # dist-0 sorts before dist-1, so an exact hit always beats a fuzzy one
+    got = _fuzzy_map(spark, ["data", "rows"])
+    assert got["data"] == ("data", "ENT_DATASET", 0)  # exact beats any fuzzy
+    assert got["rows"] == ("row", "ENT_RECORD", 1)
+
+
+def test_fuzzy_alias_map_multi_candidate_min_alias_wins(spark):
+    # extend the alias table in-test with a colliding key so a genuine
+    # two-candidate tie exists: "lane" and "line" are both dist 1 from
+    # "lne"? lne→line insert i =1; lne→lane insert a =1. Tie at dist 1 →
+    # min alias surface ("lane" < "line") wins.
+    import pandas as pd
+
+    aliases = spark.createDataFrame(
+        pd.DataFrame(
+            {"surface_form": ["lane", "line"], "canonical_id": ["ENT_LANE", "ENT_RECORD"]}
+        )
+    )
+    df = spark.createDataFrame(pd.DataFrame({"surface": ["lne"]}))
+    rows = canonicalize.fuzzy_alias_map(df, aliases).collect()
+    assert len(rows) == 1
+    assert (rows[0]["matched_alias"], rows[0]["canonical_id"]) == ("lane", "ENT_LANE")
+
+
+def test_link_surface_fuzzy_fallback_and_repair(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"subj_surface": ["ordr", "widget", "line"]})
+    )
+    out = canonicalize.link_surface_fuzzy(
+        df, "subj_surface", "subj_canonical", canonicalize.alias_dict(spark)
+    )
+    got = {r["subj_surface"]: r["subj_canonical"] for r in out.collect()}
+    assert got == {
+        "ordr": "ENT_ORDER",       # repaired typo
+        "widget": "ENT_WIDGET",    # fallback
+        "line": "ENT_RECORD",      # exact alias
+    }
+
+
+def test_deletion_variants_block_covers_all_distance_one_pairs(spark):
+    """Property: any pair at levenshtein distance ≤ 1 shares a deletion
+    variant (the completeness claim the blocking join relies on)."""
+    import itertools
+
+    import pandas as pd
+
+    words = ["", "a", "ab", "abc", "abcd", "acd", "bc", "xabc", "axbc", "abxc"]
+    df = spark.createDataFrame(pd.DataFrame({"surface": words}))
+    rows = df.select(
+        "surface", canonicalize.deletion_variants(F.col("surface")).alias("v")
+    ).collect()
+    variants = {r["surface"]: set(r["v"]) for r in rows}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for a, b in itertools.combinations(words, 2):
+        if lev(a, b) <= 1:
+            assert variants[a] & variants[b], (a, b)
