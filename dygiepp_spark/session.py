@@ -31,6 +31,17 @@ _DEFAULTS = {
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # JVM <-> Python-worker data channel over AF_UNIX instead of TCP
+    # loopback (Spark 4 feature). Root-cause fix for the wedged-job class
+    # observed in r6 scaling runs: under host CPU steal the guest kernel
+    # drops loopback TCP segments, and the connection collapses into
+    # exponential retransmission backoff (observed live: backoff:13 →
+    # RTO 120 s, cwnd:1, ~4 MB stranded in Send-Q both directions, worker
+    # blocked in send(), executor blocked in EPoll — a de-facto deadlock
+    # killed only by the ladder's hard timeout). Unix domain sockets are
+    # lossless by construction, so the failure mode is structurally gone;
+    # they also skip TCP/IP stack overhead on every Arrow batch.
+    "spark.python.unix.domain.socket.enabled": "true",
 }
 
 

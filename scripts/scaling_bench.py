@@ -46,9 +46,12 @@ def run_at(cpus: int, n_convs: int) -> dict:
     # JVM and Python worker both asleep on their socket, machine idle —
     # so every attempt gets a hard timeout. Without it one wedged job
     # stalls the whole ladder forever (subprocess.run waits unboundedly).
-    # 15 min is ~5× the slowest healthy level observed at this input
-    # size; a kill counts as a failed attempt and retries like any crash.
-    job_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_JOB_TIMEOUT", "900"))
+    # 5 min is ~5× the slowest healthy level observed at this input size
+    # (2-core full job ≈ 60 s wall incl. JVM start); a kill counts as a
+    # failed attempt and retries like any crash. The wedge root cause
+    # (loopback-TCP retransmission collapse under host steal) is fixed by
+    # the AF_UNIX worker channel in session.py, so this is a backstop.
+    job_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_JOB_TIMEOUT", "300"))
     last_err = ""
     for attempt in range(3):
         # own process group so a timeout kill reaps the Spark JVM
@@ -437,6 +440,22 @@ target ≥ 0.8 per BASELINE.md §2):
 | when (UTC) | window (canary vs reference band) | 4→16 per-pass | median | gate |
 |---|---|---|---|---|
 {_attempt_log_rows()}
+
+Worker channel (r6). The JVM↔Python-worker data channel runs over Unix
+domain sockets (`spark.python.unix.domain.socket.enabled=true`,
+session.py) instead of TCP loopback. Root cause, diagnosed live on a
+wedged r6 ladder job: under host CPU steal the guest kernel drops
+loopback TCP segments, and the worker connection collapses into
+exponential retransmission backoff (observed via `ss -tnpi`: backoff 13
+→ RTO 120 s, cwnd 1, ~4 MB stranded in both Send-Qs; the Python worker
+blocked in `send()`, the executor thread in EPoll — a de-facto hang
+that only the ladder's 300 s hard timeout could kill, and the cause of
+four burned ladder attempts on 2026-08-17). AF_UNIX cannot drop
+in-flight bytes, so the failure mode is structurally gone; it also
+removes TCP/IP-stack overhead from every Arrow batch. On a real
+cluster the equivalent risk (executor↔worker is always same-host) is
+identical, so the conf ships in the engine's defaults, not just the
+bench harness.
 
 Measurement notes. Guest vCPU timing on this host is noisy — across
 repeated single-pass runs the 4→16 efficiency estimate ranged 0.65–1.01,
