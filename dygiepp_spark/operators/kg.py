@@ -114,6 +114,115 @@ def kg_components(canonical: DataFrame) -> DataFrame:
     )
 
 
+def triangle_stats(
+    canonical: DataFrame,
+    persist: bool | str = "auto",
+    decide_on: DataFrame | None = None,
+) -> DataFrame:
+    """Per-entity triangle/wedge profile of the undirected entity graph:
+    (entity, n_neighbors, n_wedges, n_triangles) — the integer
+    ingredients of the local clustering coefficient
+    (n_triangles / n_wedges), kept as exact BIGINTs so the cross-engine
+    hash gate applies (registry 'kg_triangles'; the float ratio is a
+    trivial client-side division).
+
+    Spark plan is DEGREE-ORDERED triangle enumeration: every undirected
+    edge is oriented from its lower- to its higher-(degree, id) endpoint,
+    wedges are enumerated only at each triangle's minimum vertex, and a
+    single equi-join against the oriented edge set closes them. The
+    orientation bounds every node's out-neighborhood by O(√m), so wedge
+    fan-out cannot blow up on hub entities — the standard m^{3/2}
+    triangle bound — where naive id-ordering would square the hub
+    degree. The DuckDB oracle enumerates the same triangles by plain id
+    ordering (exact at oracle scale), so the gate cross-checks the
+    optimized enumeration against the naive one, not merely Spark
+    against Spark.
+
+    Shuffle shape: one partial-agg shuffle for degrees, two broadcast-or
+    -shuffle hash joins to attach orientation keys, one self-join on the
+    wedge apex, one closing equi-join on (v, w), one credit explode +
+    partial agg. No cartesian products; every join key is an entity
+    hash. Self-loops are dropped by kg_edges; isolated entities report
+    (0, 0, 0).
+
+    The oriented edge table feeds THREE branches (both wedge sides and
+    the closing join) and its lineage (distinct + degree agg + two
+    orientation joins) is the expensive part, so it is persisted
+    adaptively (``persist="auto"`` → plans.cache.maybe_persist on
+    ``decide_on`` or ``canonical``) — at KG scale this is the difference
+    between building the oriented edge set once and three times."""
+    from dygiepp_spark.plans import cache as _cache
+    und = (
+        kg_edges(canonical)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("entity"))
+        .unionByName(und.select(F.col("b").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    )
+    # total-order key (degree, id) as one sortable string: degree
+    # zero-padded to 12 digits (10^12 neighbors is beyond any entity
+    # vocabulary) + entity id as tie-break — bytewise comparison agrees
+    # across engines on ASCII ids.
+    ordk = deg.select(
+        "entity",
+        F.concat(
+            F.lpad(F.col("n_neighbors").cast("string"), 12, "0"), F.col("entity")
+        ).alias("ordk"),
+    )
+    lo_hi = (
+        und.join(ordk.select(F.col("entity").alias("a"), F.col("ordk").alias("ord_a")), "a")
+        .join(ordk.select(F.col("entity").alias("b"), F.col("ordk").alias("ord_b")), "b")
+        .select(
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+            F.greatest("ord_a", "ord_b").alias("ord_hi"),
+        )
+    )
+    lo_hi = _cache.maybe_persist(
+        lo_hi, decide_on=decide_on if decide_on is not None else canonical,
+        persist=persist,
+    )
+    e1 = lo_hi.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("ord_hi").alias("ord_v")
+    )
+    e2 = lo_hi.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("ord_hi").alias("ord_w")
+    )
+    wedges = (
+        e1.join(e2, "u").where(F.col("ord_v") < F.col("ord_w")).select("u", "v", "w")
+    )
+    closing = lo_hi.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])  # each triangle exactly once
+    credit = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        kg_nodes(canonical)
+        .join(deg, "entity", "left")
+        .join(credit, "entity", "left")
+        .select(
+            "entity",
+            F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+            F.expr(
+                "coalesce(n_neighbors, 0) * (coalesce(n_neighbors, 0) - 1) div 2"
+            )
+            .cast("bigint")
+            .alias("n_wedges"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+    )
+
+
 def pagerank_quantized(
     canonical: DataFrame,
     iterations: int = 3,

@@ -345,6 +345,25 @@ def kg_pagerank(spark, sf_dir):
     return _longs(kg.pagerank_quantized(_kg_canonical(spark, sf_dir), iterations=3))
 
 
+def kg_triangles(spark, sf_dir):
+    """KG analytics — per-entity triangle/wedge profile (the exact-integer
+    ingredients of the local clustering coefficient) via DEGREE-ORDERED
+    triangle enumeration (operators/kg.py:triangle_stats — oriented
+    edges bound wedge fan-out by O(√m), the hub-safe bound). The oracle
+    enumerates the same triangles by naive id ordering, so the gate
+    cross-checks the optimized enumeration against the naive one."""
+    from dygiepp_spark.operators import kg
+
+    # decide_on = the file-backed turns scan (Catalyst estimates file
+    # sizes accurately; the derived canonical aggregate plan would
+    # overestimate and persist even at tiny scale)
+    return _longs(
+        kg.triangle_stats(
+            _kg_canonical(spark, sf_dir), decide_on=_turns(spark, sf_dir)
+        )
+    )
+
+
 def event_triggers(spark, sf_dir):
     """E5 — trigger decode (events.py:341-357)."""
     return _longs(extract.event_triggers(_turns(spark, sf_dir)))
@@ -823,6 +842,45 @@ _SQL: dict[str, str] = {
         f"""WITH {_KG_CTES},
         {_kg_pagerank_ctes(3)}
         SELECT entity, rank_q FROM pr3"""
+    ),
+    # naive id-ordered triangle enumeration — deliberately a DIFFERENT
+    # algorithm from Spark's degree-ordered one (kg.py:triangle_stats):
+    # each triangle {x<y<z} appears exactly once as (x,y),(y,z),(x,z),
+    # so equal per-entity counts gate the optimized enumeration against
+    # the naive reference, not Spark against Spark
+    "kg_triangles": q(
+        f"""WITH {_KG_CTES},
+        kg_und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM kg_edges
+        ),
+        kg_deg AS (
+          SELECT entity, CAST(COUNT(*) AS {_B}) AS n_neighbors
+          FROM (SELECT a AS entity FROM kg_und
+                UNION ALL SELECT b FROM kg_und)
+          GROUP BY entity
+        ),
+        kg_tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM kg_und e1
+          JOIN kg_und e2 ON e2.a = e1.b
+          JOIN kg_und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        kg_tcount AS (
+          SELECT entity, CAST(COUNT(*) AS {_B}) AS n_triangles
+          FROM (SELECT x AS entity FROM kg_tri
+                UNION ALL SELECT y FROM kg_tri
+                UNION ALL SELECT z FROM kg_tri)
+          GROUP BY entity
+        )
+        SELECT n.entity,
+               COALESCE(d.n_neighbors, 0) AS n_neighbors,
+               COALESCE(d.n_neighbors, 0) * (COALESCE(d.n_neighbors, 0) - 1) // 2
+                 AS n_wedges,
+               COALESCE(t.n_triangles, 0) AS n_triangles
+        FROM kg_nodes n
+        LEFT JOIN kg_deg d ON n.entity = d.entity
+        LEFT JOIN kg_tcount t ON n.entity = t.entity"""
     ),
     "event_triggers": q(
         f"""SELECT conv_id, CAST(turn_idx AS {_B}) AS turn_idx,
@@ -2172,6 +2230,7 @@ QUERIES: dict[str, QuerySpec] = {
     "kg_degree_stats": QuerySpec(kg_degree_stats, _SQL["kg_degree_stats"]),
     "kg_components": QuerySpec(kg_components, _SQL["kg_components"]),
     "kg_pagerank": QuerySpec(kg_pagerank, _SQL["kg_pagerank"]),
+    "kg_triangles": QuerySpec(kg_triangles, _SQL["kg_triangles"]),
     "event_triggers": QuerySpec(event_triggers, _SQL["event_triggers"]),
     "event_arguments": QuerySpec(event_arguments, _SQL["event_arguments"]),
     "event_arg_stats": QuerySpec(event_arg_stats, _SQL["event_arg_stats"]),
@@ -2236,6 +2295,11 @@ _ROTATED_TAIL = [
     # family's representative)
     "antecedent_stats",
     "distance_bucket_hist",
+    # (r6 late: multi_dataset_union rotated out to make window room for
+    # the new kg_triangles — driver-green r03+r04+r05, metrics.py F7
+    # fan-out untouched this round, re-verified locally via check_gate;
+    # mention_label_rollup stays in-window as the F7 representative)
+    "multi_dataset_union",
     "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",

@@ -110,3 +110,62 @@ def test_pagerank_hub_outranks_leaf(spark):
     }
     assert got["H"] > got["L0"]
     assert all(got[f"L{i}"] == got["L0"] for i in range(5))
+
+
+def test_triangle_stats_hand_checked(spark):
+    # K3 {A,B,C} + pendant D on A + isolated self-loop Q:
+    #   A: 3 neighbors (B, C, D) -> 3 wedges, 1 triangle
+    #   B, C: 2 neighbors -> 1 wedge, 1 triangle
+    #   D: 1 neighbor -> 0 wedges, 0 triangles
+    #   Q: isolated -> (0, 0, 0)
+    canon = _canon(
+        spark,
+        [
+            ("A", "P", "B", 1),
+            ("B", "P", "C", 1),
+            ("C", "P", "A", 1),  # direction must not matter
+            ("A", "Q", "D", 1),
+            ("B", "R", "A", 2),  # parallel reverse edge: still ONE undirected edge
+            ("Q", "P", "Q", 1),
+        ],
+    )
+    got = {r["entity"]: r.asDict() for r in kg.triangle_stats(canon).collect()}
+    assert got["A"] == {"entity": "A", "n_neighbors": 3, "n_wedges": 3, "n_triangles": 1}
+    assert got["B"] == {"entity": "B", "n_neighbors": 2, "n_wedges": 1, "n_triangles": 1}
+    assert got["C"] == {"entity": "C", "n_neighbors": 2, "n_wedges": 1, "n_triangles": 1}
+    assert got["D"] == {"entity": "D", "n_neighbors": 1, "n_wedges": 0, "n_triangles": 0}
+    assert got["Q"] == {"entity": "Q", "n_neighbors": 0, "n_wedges": 0, "n_triangles": 0}
+    assert len(got) == 5
+
+
+def test_triangle_stats_matches_brute_force_on_random_graph(spark):
+    # degree-ordered enumeration vs an O(n^3) brute force, on a graph
+    # dense enough to contain hubs and many overlapping triangles
+    rng = random.Random(7)
+    nodes = [f"E{i:02d}" for i in range(16)]
+    edges = set()
+    while len(edges) < 50:
+        s, d = rng.sample(nodes, 2)
+        edges.add((s, d))
+    und = {frozenset((s, d)) for s, d in edges}
+    neigh = {n: set() for n in nodes}
+    for e in und:
+        a, b = sorted(e)
+        neigh[a].add(b)
+        neigh[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for x in nodes:
+        for y in neigh[x]:
+            for z in neigh[x]:
+                if y < z and z in neigh[y]:
+                    tri[x] += 1
+    canon = _canon(spark, [(s, "P", d, 1) for s, d in sorted(edges)])
+    got = {r["entity"]: r.asDict() for r in kg.triangle_stats(canon).collect()}
+    for n in nodes:
+        if n not in got:  # node never appeared in an edge
+            assert not neigh[n]
+            continue
+        d = len(neigh[n])
+        assert got[n]["n_neighbors"] == d
+        assert got[n]["n_wedges"] == d * (d - 1) // 2
+        assert got[n]["n_triangles"] == tri[n]

@@ -300,3 +300,30 @@ def test_kg_family_persist_regimes(spark):
     # auto at sf0.001: below the crossover -> no materialization job
     plan_auto = _plan(spark, "kg_degree_stats")
     assert "InMemoryTableScan" not in plan_auto
+
+
+def test_kg_triangles_persist_regimes(spark):
+    """triangle_stats' oriented edge table feeds three branches (two
+    wedge sides + the closing join). SCALE regime (persist=True): the
+    tracked lo_hi persist serves all three from cache — the plan keeps
+    InMemoryTableScans and no parquet re-scan of the corpus beyond the
+    (also cached) canonical input. TINY regime (auto at sf0.001): no
+    cache anywhere — recompute beats materialization below the
+    crossover."""
+    from dygiepp_spark import registry
+    from dygiepp_spark.operators import kg
+    from dygiepp_spark.plans import cache
+
+    with cache.scoped():
+        canon = registry._kg_canonical(spark, SF, persist=True)
+        plan = kg.triangle_stats(canon, persist=True)._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "InMemoryTableScan" in plan
+        assert _count_scans(plan) <= 1, plan
+
+    plan_auto = _plan(spark, "kg_triangles")
+    assert "InMemoryTableScan" not in plan_auto
