@@ -102,6 +102,66 @@ def merge_canonical(existing: DataFrame, updates: DataFrame) -> DataFrame:
     )
 
 
+def canonical_triples_temporal(
+    triples: DataFrame, turn_times: DataFrame, aliases: DataFrame
+) -> DataFrame:
+    """Valid-time canonical triple store: canonical (subj, pred, obj) with
+    support count AND the event-time envelope — ``first_seen_ts`` /
+    ``last_seen_ts`` from the emitting turns' ``ts`` column (the
+    transcript schema's event time, which the batch KG otherwise
+    ignores; streaming/ already watermarks on it). A transcript KG needs
+    this on day one: relation freshness/staleness, entity-drift windows,
+    and time-sliced KG views all read the envelope, not the raw corpus.
+
+    ``turn_times`` is any relation carrying (conv_id, turn_idx, ts) —
+    normally the turns table itself; only those three columns are read,
+    so column pruning reaches the scan. Plan: the same two broadcast
+    alias joins as `canonical_triples`, one equi-join to attach ts on
+    (conv_id, turn_idx) — both sides hash-partitioned on the same key,
+    AQE handles skew — and ONE partial-agg shuffle on the triple key
+    (count/min/max all combine map-side)."""
+    linked = link_surface(triples, "subj_surface", "subj_canonical", aliases)
+    linked = link_surface(linked, "obj_surface", "obj_canonical", aliases)
+    with_ts = linked.join(
+        turn_times.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    return with_ts.groupBy("subj_canonical", "pred", "obj_canonical").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_support"),
+        F.min("ts").alias("first_seen_ts"),
+        F.max("ts").alias("last_seen_ts"),
+    )
+
+
+def merge_canonical_temporal(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """Incremental maintenance of the valid-time store: matched keys
+    accumulate support AND widen the time envelope (min of first-seens,
+    max of last-seens), unmatched insert. SUM/MIN/MAX are all
+    associative and commutative, so the `merge_canonical` contract
+    extends verbatim: fold-merge over any K-way batch split ≡ full
+    recompute (pinned in tests/test_canonicalize.py). The Iceberg MERGE
+    twin gains two accumulator columns
+    (``first_seen_ts = least(t.first_seen_ts, s.first_seen_ts)``,
+    ``last_seen_ts = greatest(...)``) — same one-shuffle batch shape."""
+    from dygiepp_spark.sources.iceberg import MERGE_ACCUM_COL, MERGE_KEY_COLS
+
+    keys = list(MERGE_KEY_COLS)
+    cols = keys + [MERGE_ACCUM_COL, "first_seen_ts", "last_seen_ts"]
+    for df, name in ((existing, "existing"), (updates, "updates")):
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"{name} is missing merge columns {sorted(missing)}")
+    return (
+        existing.select(cols)
+        .unionByName(updates.select(cols))
+        .groupBy(keys)
+        .agg(
+            F.sum(MERGE_ACCUM_COL).cast("bigint").alias(MERGE_ACCUM_COL),
+            F.min("first_seen_ts").alias("first_seen_ts"),
+            F.max("last_seen_ts").alias("last_seen_ts"),
+        )
+    )
+
+
 def deletion_variants(col) -> "F.Column":
     """``{s} ∪ D1(s)`` — the string plus every single-character deletion,
     lowercased and deduplicated. Two strings at edit distance ≤ 1 always

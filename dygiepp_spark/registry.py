@@ -298,6 +298,27 @@ def canonical_triples_fuzzy(spark, sf_dir):
     )
 
 
+def canonical_triples_temporal(spark, sf_dir):
+    """Valid-time canonical triple store (canonicalize.py:
+    canonical_triples_temporal): canonical (subj, pred, obj) + support +
+    event-time envelope from the turns' ts column. The gated projection
+    emits the envelope as epoch SECONDS (BIGINT) — the repo's integer
+    portability doctrine — via Spark's timestamp→long cast vs DuckDB's
+    epoch(); the operator itself carries real timestamps."""
+    turns = _turns(spark, sf_dir)
+    ct = canonicalize.canonical_triples_temporal(
+        extract.relation_triples(turns, CFG), turns, canonicalize.alias_dict(spark)
+    )
+    return ct.select(
+        "subj_canonical",
+        "pred",
+        "obj_canonical",
+        "n_support",
+        F.col("first_seen_ts").cast("long").alias("first_seen_s"),
+        F.col("last_seen_ts").cast("long").alias("last_seen_s"),
+    )
+
+
 def _kg_canonical(spark, sf_dir, persist="auto"):
     """Shared input for the KG-analytics family: the canonical triple
     store, persisted adaptively (every KG op branches over it ≥2 times —
@@ -842,6 +863,21 @@ _SQL: dict[str, str] = {
         f"""WITH {_KG_CTES},
         {_kg_pagerank_ctes(3)}
         SELECT entity, rank_q FROM pr3"""
+    ),
+    "canonical_triples_temporal": q(
+        f"""SELECT COALESCE(sa.canonical_id,
+                        'ENT_' || upper(replace(t.subj_surface, ' ', '_'))) AS subj_canonical,
+               t.pred,
+               COALESCE(oa.canonical_id,
+                        'ENT_' || upper(replace(t.obj_surface, ' ', '_'))) AS obj_canonical,
+               COUNT(*) AS n_support,
+               CAST(epoch(MIN(tu.ts)) AS {_B}) AS first_seen_s,
+               CAST(epoch(MAX(tu.ts)) AS {_B}) AS last_seen_s
+        FROM triples t
+        JOIN turns tu ON t.conv_id = tu.conv_id AND t.turn_idx = tu.turn_idx
+        LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
+        LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
+        GROUP BY 1, 2, 3"""
     ),
     # naive id-ordered triangle enumeration — deliberately a DIFFERENT
     # algorithm from Spark's degree-ordered one (kg.py:triangle_stats):
@@ -2227,6 +2263,9 @@ QUERIES: dict[str, QuerySpec] = {
     "canonical_triples_fuzzy": QuerySpec(
         canonical_triples_fuzzy, _SQL["canonical_triples_fuzzy"]
     ),
+    "canonical_triples_temporal": QuerySpec(
+        canonical_triples_temporal, _SQL["canonical_triples_temporal"]
+    ),
     "kg_degree_stats": QuerySpec(kg_degree_stats, _SQL["kg_degree_stats"]),
     "kg_components": QuerySpec(kg_components, _SQL["kg_components"]),
     "kg_pagerank": QuerySpec(kg_pagerank, _SQL["kg_pagerank"]),
@@ -2300,6 +2339,13 @@ _ROTATED_TAIL = [
     # fan-out untouched this round, re-verified locally via check_gate;
     # mention_label_rollup stays in-window as the F7 representative)
     "multi_dataset_union",
+    # (r6 late: label_vocab rotated out to make window room for the new
+    # canonical_triples_temporal — driver-green r03+r04+r05, its
+    # emitters (extract.py ner/relation/trigger) untouched this round,
+    # re-verified locally via check_gate; ner_mentions /
+    # relation_triples / event_triggers stay in-window gating the same
+    # emitters directly)
+    "label_vocab",
     "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",

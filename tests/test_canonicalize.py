@@ -185,3 +185,60 @@ def test_deletion_variants_block_covers_all_distance_one_pairs(spark):
     for a, b in itertools.combinations(words, 2):
         if lev(a, b) <= 1:
             assert variants[a] & variants[b], (a, b)
+
+
+# ----------------------------------------------------------- temporal store
+
+_T_SCHEMA = (
+    "subj_surface string, pred string, obj_surface string, "
+    "conv_id string, turn_idx int, batch int"
+)
+
+
+@given(_partitioned_triples())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_merge_canonical_temporal_fold_equals_full_recompute(spark, data):
+    """The temporal variant of the K-way fold property: SUM/MIN/MAX are
+    all associative, so incremental maintenance of the valid-time store
+    (support + first/last-seen envelope) over any batch split reproduces
+    the full recompute. Each triple occurrence is pinned to its own turn
+    so duplicates carry DIFFERENT timestamps — the envelope genuinely
+    widens across batches."""
+    import datetime
+
+    k, rows = data
+    aliases = canonicalize.alias_dict(spark)
+    flat = [
+        (s, p, o, "c0", i, b) for i, ((s, p, o), b) in enumerate(rows)
+    ]
+    df = (
+        spark.createDataFrame(flat, _T_SCHEMA)
+        if flat
+        else spark.createDataFrame([], _T_SCHEMA)
+    )
+    base = datetime.datetime(2024, 1, 1)
+    times = spark.createDataFrame(
+        [("c0", i, base + datetime.timedelta(minutes=i)) for i in range(max(len(flat), 1))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+
+    full = canonicalize.canonical_triples_temporal(df.drop("batch"), times, aliases)
+    per_batch = [
+        canonicalize.canonical_triples_temporal(
+            df.where(F.col("batch") == i).drop("batch"), times, aliases
+        )
+        for i in range(k)
+    ]
+    merged = reduce(canonicalize.merge_canonical_temporal, per_batch)
+
+    key = (
+        "subj_canonical", "pred", "obj_canonical",
+        "n_support", "first_seen_ts", "last_seen_ts",
+    )
+    got = sorted(tuple(r[c] for c in key) for r in merged.collect())
+    want = sorted(tuple(r[c] for c in key) for r in full.collect())
+    assert got == want
