@@ -132,6 +132,28 @@ def canonical_triples_temporal(
     )
 
 
+def canonical_triples_asof(
+    triples: DataFrame, turn_times: DataFrame, aliases: DataFrame, as_of_ts: str
+) -> DataFrame:
+    """Time-travel snapshot of the valid-time store: the canonical table
+    recomputed AS OF ``as_of_ts`` — only evidence from turns with
+    ``ts <= as_of_ts`` counts. The inner join against the cut turn table
+    drops post-cutoff support, so ``n_support`` and the envelope are
+    exact as-of values; the accumulated store's envelope alone cannot
+    provide this (MIN/MAX accumulators don't subtract — existence at T is
+    ``first_seen_ts <= T``, but as-of support needs the corpus or the
+    streaming store's per-snapshot history).
+
+    Plan: the cutoff is a plain predicate on the turn table's event-time
+    column — it pushes down to the scan (and, on the production Iceberg
+    layout partitioned by ingest day, prunes partitions), so the join
+    reads only the pre-cutoff slice. When extracting fresh rather than
+    snapshotting a materialized triple table, filter the turns BEFORE
+    inference instead — same predicate, applied one stage earlier."""
+    cut = turn_times.where(F.col("ts") <= F.to_timestamp(F.lit(as_of_ts)))
+    return canonical_triples_temporal(triples, cut, aliases)
+
+
 def merge_canonical_temporal(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """Incremental maintenance of the valid-time store: matched keys
     accumulate support AND widen the time envelope (min of first-seens,

@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, functions as F
 def _large_star(e: DataFrame) -> DataFrame:
     """Edges (u,v) → for each node, link larger neighbors to the min of the
     closed neighborhood. One window shuffle (not groupBy + re-join: the
-    window reuses the hash partitioning it creates)."""
+    window reuses the hash partitioning it creates). Output may carry
+    duplicate pairs ON PURPOSE: the only consumer is `_small_star`, whose
+    min-window is duplicate-insensitive and whose final distinct dedups —
+    dropping the dedup shuffle here is a measured ~17% win per CC round
+    (2M-edge anchor graph, BENCH.md kg_big)."""
     from pyspark.sql import Window
 
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -41,7 +45,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -159,3 +162,64 @@ def connected_components(
         comp.select(F.col("node").alias("n2")), nodes["node"] == F.col("n2"), "left_anti"
     ).select("node", F.col("node").alias("component"))
     return comp.unionByName(roots)
+
+
+def merge_components(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a NEW edge batch
+    into an existing (node, component) mapping without re-running CC over
+    the full graph — the graph twin of the canonical-store MERGE
+    (canonicalize.merge_canonical).
+
+    Contract (pinned in tests/test_kg.py): for any split of the edge set
+    into batches, ``merge_components(cc(batch_0), batch_1 ∪ …)`` ≡
+    ``cc(all edges)`` — component ids stay "min member", so incremental
+    daily ingest reproduces the full recompute exactly.
+
+    Why it is correct: old components are maximal connected sets, so a
+    new edge can merge components but old edges never connect a touched
+    component to an untouched one. Contracting each touched component to
+    a star (member → component id, the id being a member itself)
+    preserves its connectivity; CC over (touched stars ∪ new edges)
+    therefore yields the same partition and the same min-member ids as
+    the full graph restricted to those nodes, and untouched rows pass
+    through verbatim.
+
+    Scale: the delta's node set and the touched-component id set are
+    BROADCAST (both are delta-sized, ≪ mapping); the untouched pass-through
+    is one broadcast anti-join (no shuffle of the mapping table); the
+    iterative CC runs only on touched-star ∪ delta edges — work is
+    proportional to the delta and the components it touches, not to the
+    10^12-turn accumulated graph."""
+    e = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    delta_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    touched_ids = (
+        mapping.join(F.broadcast(delta_nodes), "node", "semi")
+        .select("component")
+        .distinct()
+    )
+    touched = mapping.join(F.broadcast(touched_ids), "component", "semi")
+    untouched = mapping.join(F.broadcast(touched_ids), "component", "left_anti")
+    star = touched.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("u"), F.col("component").alias("v")
+    )
+    sub_cc = connected_components(
+        star.unionByName(e), src="u", dst="v", max_iter=max_iter
+    )
+    # singleton touched components survive only if they are in the delta's
+    # node set (they always are: their sole member is what got touched),
+    # so sub_cc covers every touched node and every brand-new node
+    return untouched.unionByName(sub_cc)

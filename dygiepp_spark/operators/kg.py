@@ -114,6 +114,47 @@ def kg_components(canonical: DataFrame) -> DataFrame:
     )
 
 
+def kg_components_increment(
+    mapping: DataFrame, new_canonical: DataFrame
+) -> DataFrame:
+    """Fold a new canonical-triple batch into an existing (entity,
+    component) mapping — incremental component maintenance for daily
+    ingest over the accumulated KG store (the graph counterpart of the
+    canonical-store MERGE). Result ≡ ``kg_components`` over the union of
+    all batches (gated cross-engine against the exact reachability
+    oracle in the registry; K-way fold property pinned in
+    tests/test_kg.py).
+
+    Scale: graph.merge_components touches only delta-affected components
+    (broadcast anti-join pass-through for the rest). The isolated-entity
+    top-up first drops the delta's own edge nodes (broadcast anti-join,
+    delta-sized both sides), then anti-joins the survivors against the
+    mapping — delta-sized left vs the store; at 10^12-turn scale the
+    store is bucketed by entity, so that exchange is one-sided."""
+    from dygiepp_spark.operators import graph
+
+    delta_edges = kg_edges(new_canonical)
+    merged = graph.merge_components(
+        mapping.select(F.col("entity").alias("node"), "component"),
+        delta_edges,
+    ).select(F.col("node").alias("entity"), "component")
+    # entities introduced by this batch with no (non-self-loop) edge:
+    # absent from the delta's edge-node set AND from the old mapping
+    # (merge_components already covers everything else) → own component
+    edge_nodes = (
+        delta_edges.select(F.col("src").alias("entity"))
+        .unionByName(delta_edges.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    isolated = (
+        kg_nodes(new_canonical)
+        .join(F.broadcast(edge_nodes), "entity", "left_anti")
+        .join(mapping.select("entity"), "entity", "left_anti")
+        .select("entity", F.col("entity").alias("component"))
+    )
+    return merged.unionByName(isolated)
+
+
 def triangle_stats(
     canonical: DataFrame,
     persist: bool | str = "auto",

@@ -355,6 +355,63 @@ def kg_components(spark, sf_dir):
     return _longs(kg.kg_components(_kg_canonical(spark, sf_dir)))
 
 
+def kg_components_increment(spark, sf_dir, persist="auto"):
+    """North-star incremental maintenance, GRAPH side: the corpus is
+    split into two deterministic batches (same NULL-safe crc32 predicate
+    as `canonical_merge_increment`), the component mapping is computed on
+    batch 0 alone, and batch 1 is folded in with
+    `kg.kg_components_increment` (operators/graph.py:merge_components —
+    untouched components pass through a broadcast anti-join, the
+    iterative CC reruns only on the delta-touched star subgraph). The
+    ORACLE is the exact reachability fixpoint over ALL edges — a hash
+    match proves incremental component maintenance reproduces the full
+    recompute, the property daily KG ingest at 10^12-turn scale rests
+    on. The triples persist is adaptive (`persist="auto"`): both batch
+    canonicalizations branch from one extraction above the crossover."""
+    from dygiepp_spark.operators import kg
+
+    turns = _turns(spark, sf_dir)
+    t = _cache.maybe_persist(
+        extract.relation_triples(turns, CFG), decide_on=turns, persist=persist
+    )
+    aliases = canonicalize.alias_dict(spark)
+    batch = F.coalesce(F.crc32(F.col("conv_id")), F.lit(0)) % 2
+    base = canonicalize.canonical_triples(t.where(batch == 0), aliases)
+    delta = canonicalize.canonical_triples(t.where(batch == 1), aliases)
+    return _longs(kg.kg_components_increment(kg.kg_components(base), delta))
+
+
+# as-of cutoff for the gated snapshot: 4h into the synthetic corpus — a
+# proper, non-empty prefix at every test scale (ts = epoch start + doc_id
+# minutes, so sf0.001's 500 turns span ~8.3h and sf0.01's 5000 span ~83h)
+ASOF_CUTOFF = "2024-01-01 04:00:00"
+
+
+def canonical_asof_snapshot(spark, sf_dir):
+    """Time-travel consumer of the valid-time store (canonicalize.py:
+    canonical_triples_asof): the canonical table AS OF four hours into
+    the corpus — only turns with ts <= the cutoff contribute, so
+    n_support and the envelope are exact as-of values (which the
+    accumulated envelope alone cannot give: MIN/MAX don't subtract).
+    The cutoff predicate pushes down to the turn scan. Same epoch-second
+    projection doctrine as `canonical_triples_temporal`."""
+    turns = _turns(spark, sf_dir)
+    ct = canonicalize.canonical_triples_asof(
+        extract.relation_triples(turns, CFG),
+        turns,
+        canonicalize.alias_dict(spark),
+        ASOF_CUTOFF,
+    )
+    return ct.select(
+        "subj_canonical",
+        "pred",
+        "obj_canonical",
+        "n_support",
+        F.col("first_seen_ts").cast("long").alias("first_seen_s"),
+        F.col("last_seen_ts").cast("long").alias("last_seen_s"),
+    )
+
+
 def kg_pagerank(spark, sf_dir):
     """KG analytics — fixed-3-iteration PageRank in scaled integer
     arithmetic (operators/kg.py: rank DIV out_deg message passing,
@@ -877,6 +934,25 @@ _SQL: dict[str, str] = {
         JOIN turns tu ON t.conv_id = tu.conv_id AND t.turn_idx = tu.turn_idx
         LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
         LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
+        GROUP BY 1, 2, 3"""
+    ),
+    # the temporal oracle restricted to the as-of prefix — the snapshot
+    # is BY DEFINITION the recompute over pre-cutoff evidence, so the
+    # oracle is that recompute with the same literal cutoff
+    "canonical_asof_snapshot": q(
+        f"""SELECT COALESCE(sa.canonical_id,
+                        'ENT_' || upper(replace(t.subj_surface, ' ', '_'))) AS subj_canonical,
+               t.pred,
+               COALESCE(oa.canonical_id,
+                        'ENT_' || upper(replace(t.obj_surface, ' ', '_'))) AS obj_canonical,
+               COUNT(*) AS n_support,
+               CAST(epoch(MIN(tu.ts)) AS {_B}) AS first_seen_s,
+               CAST(epoch(MAX(tu.ts)) AS {_B}) AS last_seen_s
+        FROM triples t
+        JOIN turns tu ON t.conv_id = tu.conv_id AND t.turn_idx = tu.turn_idx
+        LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
+        LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
+        WHERE tu.ts <= TIMESTAMP '2024-01-01 04:00:00'
         GROUP BY 1, 2, 3"""
     ),
     # naive id-ordered triangle enumeration — deliberately a DIFFERENT
@@ -2268,6 +2344,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "kg_degree_stats": QuerySpec(kg_degree_stats, _SQL["kg_degree_stats"]),
     "kg_components": QuerySpec(kg_components, _SQL["kg_components"]),
+    # oracle = the full reachability fixpoint ON PURPOSE (same text as
+    # kg_components): the gated property is that incremental component
+    # maintenance reproduces the full recompute (see the builder)
+    "kg_components_increment": QuerySpec(
+        kg_components_increment, _SQL["kg_components"]
+    ),
+    "canonical_asof_snapshot": QuerySpec(
+        canonical_asof_snapshot, _SQL["canonical_asof_snapshot"]
+    ),
     "kg_pagerank": QuerySpec(kg_pagerank, _SQL["kg_pagerank"]),
     "kg_triangles": QuerySpec(kg_triangles, _SQL["kg_triangles"]),
     "event_triggers": QuerySpec(event_triggers, _SQL["event_triggers"]),
@@ -2346,6 +2431,16 @@ _ROTATED_TAIL = [
     # relation_triples / event_triggers stay in-window gating the same
     # emitters directly)
     "label_vocab",
+    # (r6 late: ner_align_counts / event_arg_stats rotated out to make
+    # window room for the new kg_components_increment +
+    # canonical_asof_snapshot — each driver-green r04+r05, their
+    # operators (spans.py C3 alignment, extract.py E7 assembly)
+    # untouched this round, re-verified locally via check_gate;
+    # gold_align_coref stays in-window for spans.py alignment and
+    # event_triggers / event_arguments / overlap_merge stay in-window
+    # for extract.py)
+    "ner_align_counts",
+    "event_arg_stats",
     "binary_metadata",
     "doc_assembly_offsets",
     "span_enum_counts",

@@ -242,3 +242,54 @@ def test_merge_canonical_temporal_fold_equals_full_recompute(spark, data):
     got = sorted(tuple(r[c] for c in key) for r in merged.collect())
     want = sorted(tuple(r[c] for c in key) for r in full.collect())
     assert got == want
+
+
+def test_canonical_triples_asof_exact_support_and_envelope(spark):
+    """The as-of snapshot recomputes support and envelope from pre-cutoff
+    evidence only — NOT derivable from the accumulated envelope (MIN/MAX
+    don't subtract). 'row'/'line' both link to ENT_RECORD, so the
+    canonical key aggregates across surfaces; occurrence 3 (ts=03:00)
+    falls after the 02:30 cutoff and must drop from support AND shrink
+    last_seen back to 02:00."""
+    import datetime
+
+    aliases = canonicalize.alias_dict(spark)
+    flat = [
+        ("row", "USES", "data", "c0", 0, 0),
+        ("line", "USES", "data", "c0", 2, 0),   # same canonical key, 02:00
+        ("row", "USES", "data", "c0", 3, 0),    # post-cutoff occurrence
+        ("widget", "USES", "data", "c0", 3, 0), # entirely post-cutoff key
+    ]
+    df = spark.createDataFrame(flat, _T_SCHEMA)
+    base = datetime.datetime(2024, 1, 1)
+    times = spark.createDataFrame(
+        [("c0", i, base + datetime.timedelta(hours=i)) for i in range(4)],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    snap = canonicalize.canonical_triples_asof(
+        df.drop("batch"), times, aliases, "2024-01-01 02:30:00"
+    )
+    got = {
+        (r["subj_canonical"], r["pred"], r["obj_canonical"]): (
+            r["n_support"], r["first_seen_ts"], r["last_seen_ts"]
+        )
+        for r in snap.collect()
+    }
+    assert got == {
+        ("ENT_RECORD", "USES", "ENT_DATASET"): (
+            2, base, base + datetime.timedelta(hours=2)
+        )
+    }
+    # full recompute for contrast: support 3, envelope reaches 03:00, and
+    # the post-cutoff-only key exists
+    full = canonicalize.canonical_triples_temporal(df.drop("batch"), times, aliases)
+    fgot = {
+        (r["subj_canonical"], r["pred"], r["obj_canonical"]): (
+            r["n_support"], r["last_seen_ts"]
+        )
+        for r in full.collect()
+    }
+    assert fgot[("ENT_RECORD", "USES", "ENT_DATASET")] == (
+        3, base + datetime.timedelta(hours=3)
+    )
+    assert ("ENT_WIDGET", "USES", "ENT_DATASET") in fgot

@@ -11,6 +11,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from dygiepp_spark.operators import kg
 
@@ -169,3 +170,81 @@ def test_triangle_stats_matches_brute_force_on_random_graph(spark):
         assert got[n]["n_neighbors"] == d
         assert got[n]["n_wedges"] == d * (d - 1) // 2
         assert got[n]["n_triangles"] == tri[n]
+
+
+# ------------------------------------------- incremental component merge
+
+def _cc_map(df):
+    return {r["entity"]: r["component"] for r in df.collect()}
+
+
+def test_components_increment_hand_checked(spark):
+    # base: islands {A,B,C} and {Y,Z}, isolated self-loop Q
+    base = _canon(
+        spark,
+        [("B", "P", "A", 1), ("B", "P", "C", 1), ("Y", "P", "Z", 1), ("Q", "P", "Q", 1)],
+    )
+    mapping = kg.kg_components(base)
+    # delta: bridges the two islands via a BRAND-NEW node M, adds a fresh
+    # island {V, W}, and a new isolated self-loop entity R
+    delta = _canon(
+        spark,
+        [("C", "P", "M", 1), ("M", "P", "Z", 1), ("V", "P", "W", 1), ("R", "P", "R", 1)],
+    )
+    got = _cc_map(kg.kg_components_increment(mapping, delta))
+    assert got == {
+        "A": "A", "B": "A", "C": "A", "M": "A", "Y": "A", "Z": "A",
+        "V": "V", "W": "V", "Q": "Q", "R": "R",
+    }
+
+
+def test_components_increment_untouched_island_passes_through(spark):
+    base = _canon(spark, [("B", "P", "A", 1), ("Y", "P", "Z", 1)])
+    mapping = kg.kg_components(base)
+    delta = _canon(spark, [("Z", "P", "Y", 2)])  # touches island 2 only
+    got = _cc_map(kg.kg_components_increment(mapping, delta))
+    assert got == {"A": "A", "B": "A", "Y": "Y", "Z": "Y"}
+
+
+@given(st.data())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_components_increment_fold_equals_full_recompute(spark, data):
+    # K-way fold over arbitrary batch assignments of a random edge set
+    # (incl. self-loops → isolated entities, empty batches, brand-new
+    # nodes per batch) ≡ kg_components over the union — the same
+    # adversarial-split contract the canonical MERGE carries
+    # (tests/test_canonicalize.py), on the graph side.
+    k = data.draw(st.integers(min_value=1, max_value=4))
+    nodes = [f"N{i}" for i in range(8)]
+    edges = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from(nodes), st.sampled_from(nodes)),
+            min_size=0,
+            max_size=14,
+        )
+    )
+    batches = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=k - 1),
+            min_size=len(edges),
+            max_size=len(edges),
+        )
+    )
+    schema = "subj_canonical string, pred string, obj_canonical string, n_support long"
+
+    def canon(rows):
+        return spark.createDataFrame(rows, schema)
+
+    per_batch = [
+        canon([(s, "P", o, 1) for (s, o), b in zip(edges, batches) if b == i])
+        for i in range(k)
+    ]
+    mapping = kg.kg_components(per_batch[0])
+    for b in per_batch[1:]:
+        mapping = kg.kg_components_increment(mapping, b)
+    full = kg.kg_components(canon([(s, "P", o, 1) for s, o in edges]))
+    assert _cc_map(mapping) == _cc_map(full)
