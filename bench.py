@@ -244,6 +244,80 @@ def main() -> None:
         }
         lang_docs.unpersist()
 
+    # KG-analytics anchor (new r6): kg_components / kg_pagerank are the
+    # only iterative plans in the engine and triangle_stats the heaviest
+    # join fan-out, and the corpus-derived KG can't exercise any of them
+    # (the synthetic vocabulary bounds the graph to ~30 canonical
+    # entities regardless of corpus size). Measure them on a
+    # deterministic ~1M-node/2M-edge graph in canonical-triple shape —
+    # Knuth-multiplicative-hash destinations give a random-ish topology
+    # (the realistic few-iteration CC regime) with hub skew from the
+    # modulo wrap. Disable with SPARK_GRAFT_BENCH_KG=0.
+    kg_edges_n = int(os.environ.get("SPARK_GRAFT_BENCH_KG", "2000000"))
+    kg_big = None
+    if kg_edges_n > 0:
+        from pyspark.sql import functions as F
+
+        from dygiepp_spark.operators import kg as _kg
+        from dygiepp_spark.plans import cache as _c4
+
+        kg_nodes_n = max(kg_edges_n // 2, 1)
+        graph = (
+            spark.range(kg_edges_n)
+            .repartition(int(cpus) * 2)
+            .select(
+                F.concat(F.lit("E"), (F.col("id") % kg_nodes_n)).alias(
+                    "subj_canonical"
+                ),
+                F.lit("REL").alias("pred"),
+                F.concat(
+                    F.lit("E"), (F.col("id") * 2654435761) % kg_nodes_n
+                ).alias("obj_canonical"),
+                F.lit(1).cast("bigint").alias("n_support"),
+            )
+            .persist()
+        )
+        n_kg_edges = graph.count()
+
+        _KG_OPS = (
+            ("components", _kg.kg_components),
+            ("pagerank", _kg.pagerank_quantized),
+            ("triangles", _kg.triangle_stats),
+        )
+
+        def _kg_job() -> dict:
+            # per-op split so regressions are attributable (the three
+            # plans are unlike: iterative star-contraction, fixed-3-iter
+            # message passing, one degree-ordered join fan-out)
+            per_op = {}
+            with _c4.scoped():
+                for op_name, op in _KG_OPS:
+                    t0 = time.perf_counter()
+                    op(graph).write.format("noop").mode("overwrite").save()
+                    per_op[f"sec_{op_name}"] = round(time.perf_counter() - t0, 3)
+            return per_op
+
+        _kg_job()  # warm-up, not measured
+
+        def _measure_kg() -> dict:
+            t0 = time.perf_counter()
+            per_op = _kg_job()
+            sec = time.perf_counter() - t0
+            return {
+                "sec": round(sec, 3),
+                "edges_per_sec": round(n_kg_edges / sec, 1),
+                **per_op,
+            }
+
+        kg_attempts = _with_load_retry(_measure_kg)
+        kg_big = {
+            "n_edges": n_kg_edges,
+            "n_nodes": kg_nodes_n,
+            **max(kg_attempts, key=lambda a: a["edges_per_sec"]),
+            "attempts": kg_attempts,
+        }
+        graph.unpersist()
+
     # third anchor: the near-dup persist trade at a scale where corpus
     # scans dominate (the sf0.1 headline runs 5k docs, where job setup
     # hides the scan cost). Measures the SAME operator with and without
@@ -347,6 +421,19 @@ def main() -> None:
     _anchor("big_corpus_extraction", big, ("n_turns", "sec", "turns_per_sec"))
     _anchor("coref_big", coref_big, ("n_turns", "sec", "turns_per_sec"))
     _anchor("lang_id_big", langid_big, ("n_docs", "sec", "docs_per_sec"))
+    _anchor(
+        "kg_big",
+        kg_big,
+        (
+            "n_edges",
+            "n_nodes",
+            "sec",
+            "edges_per_sec",
+            "sec_components",
+            "sec_pagerank",
+            "sec_triangles",
+        ),
+    )
     nd_keys = (
         "n_docs",
         "sec_persist",
