@@ -316,7 +316,94 @@ def main() -> None:
             **max(kg_attempts, key=lambda a: a["edges_per_sec"]),
             "attempts": kg_attempts,
         }
+
         graph.unpersist()
+
+    # incremental component-maintenance anchor: the regime
+    # kg_components_increment exists for — a block-structured KG (many
+    # medium components, the shape a transcript corpus produces) where a
+    # daily delta touches ~1% of components: 1% arrive as whole NEW
+    # blocks and 1% of existing blocks receive late edges; everything
+    # else must pass through the broadcast anti-join untouched. Compared
+    # against the full CC recompute over the same union. The stored
+    # mapping's materialization is NOT timed — it is the state daily
+    # ingest starts from. (The giant-component worst case — delta
+    # touches THE component, no pass-through — is kg_big's graph; its
+    # correctness is oracle-gated, and the win there is bounded by
+    # star-convergence rounds, not coverage.) Disable with
+    # SPARK_GRAFT_BENCH_KGINCR=0.
+    kgi_edges_n = int(os.environ.get("SPARK_GRAFT_BENCH_KGINCR", "2000000"))
+    kg_incr = None
+    if kgi_edges_n > 0:
+        from pyspark.sql import functions as F
+
+        from dygiepp_spark.operators import kg as _kg
+
+        n_blocks = max(kgi_edges_n // 1000, 1)  # ~1000 edges / 500 nodes per block
+        blk = F.col("id") % n_blocks
+        within = F.col("id") / n_blocks  # distinct per (block, rank)
+        full_graph = (
+            spark.range(kgi_edges_n)
+            .repartition(int(cpus) * 2)
+            .select(
+                F.col("id"),
+                blk.alias("blk"),
+                F.concat(
+                    F.lit("E"), blk * 500 + F.floor(within).cast("long") % 500
+                ).alias("subj_canonical"),
+                F.lit("REL").alias("pred"),
+                F.concat(
+                    F.lit("E"),
+                    blk * 500 + (F.floor(within).cast("long") * 2654435761) % 500,
+                ).alias("obj_canonical"),
+                F.lit(1).cast("bigint").alias("n_support"),
+            )
+        )
+        new_blocks = n_blocks // 100  # 1% of blocks arrive whole
+        is_new = F.col("blk") < new_blocks
+        # 1% of each of the next 1% of blocks' edges arrive late (the
+        # within-block rank is independent of blk, unlike raw id)
+        is_late = (
+            (F.col("blk") >= new_blocks)
+            & (F.col("blk") < 2 * new_blocks)
+            & (F.floor(within).cast("long") % 100 == 0)
+        )
+        cols = ("subj_canonical", "pred", "obj_canonical", "n_support")
+        base = full_graph.where(~(is_new | is_late)).select(*cols).persist()
+        delta = full_graph.where(is_new | is_late).select(*cols).persist()
+        n_delta = delta.count()
+        base.count()
+        mapping = _kg.kg_components(base).persist()
+        mapping.count()
+        union = base.unionByName(delta)
+
+        def _measure_kg_incr() -> dict:
+            t0 = time.perf_counter()
+            _kg.kg_components_increment(mapping, delta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec_merge = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _kg.kg_components(union).write.format("noop").mode("overwrite").save()
+            sec_full = time.perf_counter() - t0
+            return {
+                "sec_merge": round(sec_merge, 3),
+                "sec_full_cc": round(sec_full, 3),
+                "merge_speedup": round(sec_full / sec_merge, 2),
+            }
+
+        _measure_kg_incr()  # warm-up, not measured
+        kgi_attempts = _with_load_retry(_measure_kg_incr)
+        kg_incr = {
+            "n_edges": kgi_edges_n,
+            "n_blocks": n_blocks,
+            "n_delta_edges": n_delta,
+            **max(kgi_attempts, key=lambda a: a["merge_speedup"]),
+            "attempts": kgi_attempts,
+        }
+        mapping.unpersist()
+        base.unpersist()
+        delta.unpersist()
 
     # third anchor: the near-dup persist trade at a scale where corpus
     # scans dominate (the sf0.1 headline runs 5k docs, where job setup
@@ -433,6 +520,11 @@ def main() -> None:
             "sec_pagerank",
             "sec_triangles",
         ),
+    )
+    _anchor(
+        "kg_incr",
+        kg_incr,
+        ("n_edges", "n_delta_edges", "sec_merge", "sec_full_cc", "merge_speedup"),
     )
     nd_keys = (
         "n_docs",

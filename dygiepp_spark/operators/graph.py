@@ -170,6 +170,7 @@ def merge_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    single_task_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Incremental connected-components maintenance: fold a NEW edge batch
     into an existing (node, component) mapping without re-running CC over
@@ -192,10 +193,18 @@ def merge_components(
 
     Scale: the delta's node set and the touched-component id set are
     BROADCAST (both are delta-sized, ≪ mapping); the untouched pass-through
-    is one broadcast anti-join (no shuffle of the mapping table); the
-    iterative CC runs only on touched-star ∪ delta edges — work is
-    proportional to the delta and the components it touches, not to the
-    10^12-turn accumulated graph."""
+    is one broadcast anti-join (no shuffle of the mapping table); CC reruns
+    only on touched-star ∪ delta edges — work is proportional to the delta
+    and the components it touches, not to the 10^12-turn accumulated graph.
+    The subgraph CC picks its physical strategy by measured size: a daily
+    delta's subgraph is normally tiny relative to the store, and the
+    iterative algorithm's per-round latency floor (~10 jobs regardless of
+    data) dwarfs the work, so up to `single_task_max_edges` it runs the
+    one-shuffle single-task union-find (`connected_components_grouped`
+    with a constant group — same min-member contract); only a delta
+    touching a giant component falls back to the iterative rounds. The
+    size probe and the chosen branch each evaluate the touched-star join
+    once — callers keep `mapping` persisted (it is the stored state)."""
     e = (
         new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -216,9 +225,16 @@ def merge_components(
     star = touched.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("u"), F.col("component").alias("v")
     )
-    sub_cc = connected_components(
-        star.unionByName(e), src="u", dst="v", max_iter=max_iter
-    )
+    # lazy localCheckpoint: the size probe below materializes it, so the
+    # chosen branch (and the upstream mapping joins + delta lineage) is
+    # evaluated exactly once — sub_edges is delta-scale by construction
+    sub_edges = star.unionByName(e).localCheckpoint(eager=False)
+    if sub_edges.count() <= single_task_max_edges:
+        sub_cc = connected_components_grouped(
+            sub_edges.withColumn("_g", F.lit("_")), "_g", src="u", dst="v"
+        ).select("node", "component")
+    else:
+        sub_cc = connected_components(sub_edges, src="u", dst="v", max_iter=max_iter)
     # singleton touched components survive only if they are in the delta's
     # node set (they always are: their sole member is what got touched),
     # so sub_cc covers every touched node and every brand-new node
