@@ -280,7 +280,14 @@ def main() -> None:
         n_kg_edges = graph.count()
 
         _KG_OPS = (
+            # default = size-gated: at 1M distinct edges this takes the
+            # single-task union-find; the forced-iterative twin keeps the
+            # star-contraction engine measured round-over-round
             ("components", _kg.kg_components),
+            (
+                "components_iter",
+                lambda df: _kg.kg_components(df, single_task_max_edges=0),
+            ),
             ("pagerank", _kg.pagerank_quantized),
             ("triangles", _kg.triangle_stats),
         )
@@ -517,6 +524,7 @@ def main() -> None:
             "sec",
             "edges_per_sec",
             "sec_components",
+            "sec_components_iter",
             "sec_pagerank",
             "sec_triangles",
         ),

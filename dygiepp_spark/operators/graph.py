@@ -118,18 +118,36 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    single_task_max_edges: int = 0,
 ) -> DataFrame:
     """Return (node, component) with component = min node id in the component.
 
     `edges` needs two same-typed, orderable columns `src`, `dst` (ints or
     strings). Isolated nodes don't appear; callers left-join and coalesce to
     self. Deterministic: the component id is the minimum member.
-    """
+
+    ``single_task_max_edges`` > 0 enables a measured-size fast path: the
+    iterative rounds pay a fixed ~10-job latency floor regardless of data
+    (measured 37–42 s on a 1M-edge giant-component graph where the
+    one-shuffle single-task union-find finishes in ~7 s — BENCH.md
+    kg_big), so below the threshold the edge set (distinct, so the count
+    is the true size) runs `connected_components_grouped` under a
+    constant group — same min-member contract. 0 (the default) always
+    iterates: the threshold is a per-caller policy (one task must hold
+    the edges in memory), not a property of the algorithm."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if single_task_max_edges > 0:
+        # lazy checkpoint shared by the probe and the chosen branch — the
+        # upstream lineage (often a full canonicalization) runs once
+        e = e.localCheckpoint(eager=False)
+        if e.count() <= single_task_max_edges:
+            return connected_components_grouped(
+                e.withColumn("_g", F.lit("_")), "_g", src="u", dst="v"
+            ).select("node", "component")
     nodes = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
     ).distinct().localCheckpoint(eager=False)

@@ -96,15 +96,30 @@ def degree_stats(canonical: DataFrame) -> DataFrame:
     )
 
 
-def kg_components(canonical: DataFrame) -> DataFrame:
+def kg_components(
+    canonical: DataFrame, single_task_max_edges: int = 4_000_000
+) -> DataFrame:
     """Weakly-connected components of the entity graph: (entity,
     component), component = lexicographic min entity in the component
-    (ASCII ids → bytewise min agrees across engines). Iterative
-    large/small-star CC (graph.py) on the edge set; entities with only
-    self-loops are isolated → their own component."""
+    (ASCII ids → bytewise min agrees across engines). Entities with only
+    self-loops are isolated → their own component.
+
+    Physical strategy is size-gated (graph.connected_components): entity
+    graphs are vocabulary-bounded (≪ corpus), so most KGs fit the
+    one-shuffle single-task union-find — default threshold 4M edges
+    (~hundreds of MB in one task); larger stores run the iterative
+    large/small-star rounds. Pass 0 to force the iterative engine (the
+    registry's kg_components gate does, so the iterative path stays
+    cross-engine-gated; the union-find path is gated via
+    kg_components_increment and coref_clusters)."""
     from dygiepp_spark.operators import graph
 
-    comp = graph.connected_components(kg_edges(canonical), src="src", dst="dst")
+    comp = graph.connected_components(
+        kg_edges(canonical),
+        src="src",
+        dst="dst",
+        single_task_max_edges=single_task_max_edges,
+    )
     return (
         kg_nodes(canonical)
         .join(comp, F.col("entity") == F.col("node"), "left")

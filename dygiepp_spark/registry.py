@@ -346,13 +346,18 @@ def kg_components(spark, sf_dir):
     """KG analytics — weakly-connected components of the entity graph via
     the iterative large/small-star algorithm (operators/graph.py — the
     public algorithm behind GraphFrames CC, named by the north star).
-    This gates the generic ITERATIVE CC path cross-engine: the oracle is
-    an exact reachability fixpoint (recursive CTE), so any Spark
-    convergence bug surfaces as a hash mismatch. component = min entity
-    id (ASCII → bytewise min agrees across engines)."""
+    This gates the generic ITERATIVE CC path cross-engine
+    (single_task_max_edges=0 forces it past the size-gated union-find
+    fast path, which is gated via kg_components_increment's sub-CC and
+    coref_clusters): the oracle is an exact reachability fixpoint
+    (recursive CTE), so any Spark convergence bug surfaces as a hash
+    mismatch. component = min entity id (ASCII → bytewise min agrees
+    across engines)."""
     from dygiepp_spark.operators import kg
 
-    return _longs(kg.kg_components(_kg_canonical(spark, sf_dir)))
+    return _longs(
+        kg.kg_components(_kg_canonical(spark, sf_dir), single_task_max_edges=0)
+    )
 
 
 def kg_components_increment(spark, sf_dir, persist="auto"):
