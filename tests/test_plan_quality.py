@@ -327,3 +327,35 @@ def test_kg_triangles_persist_regimes(spark):
 
     plan_auto = _plan(spark, "kg_triangles")
     assert "InMemoryTableScan" not in plan_auto
+
+
+def test_merge_components_untouched_passthrough_is_broadcast(spark):
+    """Incremental CC maintenance must never shuffle the stored mapping
+    for the untouched pass-through: the touched-component id set is
+    delta-sized, so both the semi (touched) and anti (untouched) joins
+    against the mapping must be broadcast hash joins. A refactor that
+    degrades them to sort-merge would shuffle the full 10^12-scale store
+    per daily fold."""
+    from pyspark.sql import functions as F
+
+    from dygiepp_spark.operators import graph
+
+    mapping = spark.createDataFrame(
+        [("A", "A"), ("B", "A"), ("Y", "Y"), ("Z", "Y")], "node string, component string"
+    )
+    delta = spark.createDataFrame([("Z", "Q")], "src string, dst string")
+    out = graph.merge_components(mapping, delta)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # operator node lines look like "(12) BroadcastHashJoin"; join kind
+    # is a separate "Join type: LeftSemi" detail line
+    node_joins = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Join" in line
+    ]
+    assert node_joins, plan
+    for line in node_joins:
+        assert "BroadcastHashJoin" in line, line + "\n" + plan[:3000]
+    assert "Join type: LeftSemi" in plan and "Join type: LeftAnti" in plan, plan
