@@ -359,3 +359,36 @@ def test_merge_components_untouched_passthrough_is_broadcast(spark):
     for line in node_joins:
         assert "BroadcastHashJoin" in line, line + "\n" + plan[:3000]
     assert "Join type: LeftSemi" in plan and "Join type: LeftAnti" in plan, plan
+
+
+def test_kg_components_increment_persist_regimes(spark):
+    """SCALE regime (persist=True): both batch canonicalizations and the
+    base mapping branch from ONE extraction — a single parquet scan,
+    served from cache everywhere else (recomputing the inference lineage
+    per branch is the failure mode the pin forbids). TINY regime (auto
+    at sf0.001): no cache — recompute beats materialization below the
+    measured crossover."""
+    from dygiepp_spark import registry
+    from dygiepp_spark.plans import cache
+
+    def _scans(plan: str) -> int:
+        return sum(
+            1
+            for line in plan.splitlines()
+            if line.strip().startswith("(") and "Scan parquet" in line
+        )
+
+    def _explain(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    with cache.scoped():
+        plan = _explain(registry.kg_components_increment(spark, SF, persist=True))
+        assert _scans(plan) <= 1, plan
+        assert "InMemoryTableScan" in plan
+
+    plan_auto = _explain(registry.kg_components_increment(spark, SF))
+    assert "InMemoryTableScan" not in plan_auto
