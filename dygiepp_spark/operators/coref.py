@@ -75,24 +75,34 @@ def clusters_via_components(
     holds one conversation's mention graph in one Python worker; at ~10^7+
     mentions per conversation prefer the global path, whose per-round
     shuffles have no per-conversation hotspot). Both paths are pinned equal
-    by pytest."""
-    from dygiepp_spark.operators.graph import connected_components_grouped
+    by pytest.
 
-    mentions = coref_mentions(turns)
-    if persist_mentions:
-        # mentions feed BOTH the edge derivation and the final component
-        # join — without a persist the extraction pipeline runs twice
-        # (spill-safe; one row per entity token). Registered with
-        # plans.cache so long-lived sessions can release it.
-        from pyspark import StorageLevel
-
-        from dygiepp_spark.plans import cache
-
-        mentions = cache.track(mentions.persist(StorageLevel.MEMORY_AND_DISK))
-    edges = antecedent_edges(mentions, max_gap=max_gap)
+    The grouped path is FUSED (r7 optimization): the old plan ran the
+    mention pipeline (lead window + offsets join), persisted it, derived
+    antecedent edges with a second window, shipped edges to a per-conv
+    union-find, and joined components back to the persisted mentions —
+    6 shuffles + a materialization job. But edge derivation (nearest
+    previous same-surface mention) and the membership join are both
+    conversation-local, so one groupBy(conv) Python pass does all three:
+    the plan is now ONE window shuffle (doc offsets, whose hash(conv)
+    partitioning the groupBy reuses — no second exchange) + the Python
+    stage. `persist_mentions` is accepted for API compatibility; the fused
+    plan has no multi-branch reuse to persist."""
     if global_cc:
         from dygiepp_spark.operators.graph import connected_components
 
+        mentions = coref_mentions(turns)
+        if persist_mentions:
+            # mentions feed BOTH the edge derivation and the final component
+            # join — without a persist the extraction pipeline runs twice
+            # (spill-safe; one row per entity token). Registered with
+            # plans.cache so long-lived sessions can release it.
+            from pyspark import StorageLevel
+
+            from dygiepp_spark.plans import cache
+
+            mentions = cache.track(mentions.persist(StorageLevel.MEMORY_AND_DISK))
+        edges = antecedent_edges(mentions, max_gap=max_gap)
         e = edges.select(
             _node_id(F.col("conv_id"), F.col("doc_pos")).alias("src"),
             _node_id(F.col("conv_id"), F.col("ant_doc_pos")).alias("dst"),
@@ -106,21 +116,77 @@ def clusters_via_components(
                 F.split(F.col("component"), "#")[1].cast("bigint").alias("cluster_id"),
             )
         )
-    else:
-        comp = connected_components_grouped(
-            edges.select(
-                "conv_id",
-                F.col("doc_pos").alias("src"),
-                F.col("ant_doc_pos").alias("dst"),
-            ),
-            group_col="conv_id",
-        ).select(
-            F.col("group").alias("conv_id"),
-            F.col("node").alias("doc_pos"),
-            F.col("component").alias("cluster_id"),
+        return mentions.join(comp, on=["conv_id", "doc_pos"], how="inner").select(
+            "conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"
         )
-    return mentions.join(comp, on=["conv_id", "doc_pos"], how="inner").select(
-        "conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"
+
+    from dygiepp_spark.operators.extract import _entity_label
+
+    # scan-local single-token entity mentions with doc-level positions:
+    # the window computes per-turn offsets (one shuffle, carries text);
+    # the mention explode is a narrow projection on top of it
+    toks = F.split(F.col("text"), " ")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(i.cast("int").alias("pos"), t.alias("token"))
+    )
+    ments = F.filter(indexed, lambda x: _entity_label(x["token"]).isNotNull())
+    m = (
+        with_sentence_starts(turns)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "sentence_start",
+            F.explode(ments).alias("m"),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.col("m.pos").alias("start"),
+            F.col("m.pos").alias("end"),
+            F.col("m.token").alias("surface"),
+            (F.col("sentence_start") + F.col("m.pos")).cast("bigint").alias("doc_pos"),
+        )
+    )
+
+    gap = max_gap
+
+    def _fused(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_pos")
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        last: dict = {}  # surface -> previous mention doc_pos (lag semantics)
+        for dp, surf in zip(pdf["doc_pos"], pdf["surface"]):
+            ant = last.get(surf)
+            if ant is not None and (gap is None or dp - ant <= gap):
+                ra, rb = find(dp), find(ant)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            last[surf] = dp
+        if not parent:
+            return pdf.iloc[0:0].assign(cluster_id=pd.Series(dtype="int64"))[
+                ["conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"]
+            ]
+        comp = {n: find(n) for n in parent}
+        out = pdf[pdf["doc_pos"].isin(comp)].copy()
+        out["cluster_id"] = out["doc_pos"].map(comp)
+        return out[
+            ["conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"]
+        ]
+
+    return m.groupBy("conv_id").applyInPandas(
+        _fused,
+        schema=(
+            "conv_id string, cluster_id long, turn_idx int, start int, end int, "
+            "surface string, doc_pos long"
+        ),
     )
 
 

@@ -55,34 +55,48 @@ def ner_mentions(turns: DataFrame, include_modifier_spans: bool = True) -> DataF
     width-2 mention with the entity's type (this exercises multi-token spans
     and the overlap-merge operator downstream).
     """
-    toks = tokens_view(turns)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
-    toks2 = toks.withColumn("next_token", F.lead("token").over(w))
-
-    # single pass: each token emits up to two candidate mentions (itself as
-    # a width-1 span; modifier+next as a width-2 span) — one scan of the
-    # turns table instead of a two-branch union reading it twice
-    single = F.struct(
-        F.col("pos").alias("start"),
-        F.col("pos").alias("end"),
-        _entity_label(F.col("token")).alias("label"),
-        F.col("token").alias("surface"),
+    # Scan-local array formulation (r7): the old plan posexploded tokens and
+    # ran a lead() window partitioned by (conv, turn) — a corpus-token-scale
+    # sort shuffle whose only purpose was to see token i+1, which the token
+    # ARRAY of the same row already provides. Per-turn candidate mentions
+    # are pure array algebra: one scan, ZERO shuffles (the relation_triples
+    # pattern). Emitted rows are byte-identical to the window plan's.
+    toks = F.split(F.col("text"), " ")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(i.cast("int").alias("pos"), t.alias("token"))
     )
-    candidates = [single]
-    if include_modifier_spans:
-        pair = F.struct(
-            F.col("pos").alias("start"),
-            (F.col("pos") + 1).cast("int").alias("end"),
-            F.when(
-                F.col("token").isin(list(MODIFIERS)),
-                _entity_label(F.col("next_token")),
-            ).alias("label"),
-            F.concat_ws(" ", F.col("token"), F.col("next_token")).alias("surface"),
+
+    def _single(x):
+        return F.struct(
+            x["pos"].alias("start"),
+            x["pos"].alias("end"),
+            _entity_label(x["token"]).alias("label"),
+            x["token"].alias("surface"),
         )
-        candidates.append(pair)
-    exploded = toks2.select(
-        "conv_id", "turn_idx", F.explode(F.array(*candidates)).alias("m")
-    ).where(F.col("m.label").isNotNull())
+
+    if include_modifier_spans:
+        n = F.size(toks)
+
+        def _cands(x):
+            nxt = F.try_element_at(toks, x["pos"] + 2)  # 1-based; NULL past end
+            pair = F.struct(
+                x["pos"].alias("start"),
+                (x["pos"] + 1).cast("int").alias("end"),
+                F.when(
+                    x["token"].isin(list(MODIFIERS)), _entity_label(nxt)
+                ).alias("label"),
+                F.concat_ws(" ", x["token"], nxt).alias("surface"),
+            )
+            return F.array(_single(x), pair)
+
+        cand_arr = F.flatten(F.transform(indexed, _cands))
+    else:
+        cand_arr = F.transform(indexed, _single)
+    exploded = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.filter(cand_arr, lambda m: m["label"].isNotNull())).alias("m"),
+    )
     out = exploded.select(
         "conv_id",
         "turn_idx",

@@ -23,6 +23,16 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's coalescing floor is byte-based (default minPartitionSize 1 MB),
+    # but this engine's post-shuffle stages are compute-heavy per byte
+    # (char-level hashing, array-algebra extraction, per-group Python
+    # union-find): a 3 MB shuffle coalesced to 3 partitions serializes that
+    # compute on 3 of 32 cores (measured on the near-dup shingle stages —
+    # guide §2.5: AQE is blind to CPU skew). 64 KB keeps parallelismFirst
+    # able to fan small-but-expensive shuffles out to defaultParallelism;
+    # at production shuffle sizes bytes/parallelism >> 64 KB, so large-scale
+    # coalescing behavior is unchanged.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
