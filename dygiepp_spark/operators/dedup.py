@@ -62,26 +62,136 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _token_hash_batch(tokens: list[str]):
+    """Vectorized exact twin of the char polynomial hash over a batch of
+    strings: returns (hash, 31^len % MOD, len) int64 arrays. Horner runs
+    max_len vectorized numpy steps over a codepoint matrix (utf-32 decode =
+    exact codepoints, matching Spark's split('')+ascii()); acc starts at 0,
+    which equals the SQL NULL-init fold for non-empty strings ((0·31+c)=c);
+    empty strings report hash 0 with len 0 — callers emulate the SQL NULL
+    where it matters (simhash ballots)."""
+    import numpy as np
+
+    m = len(tokens)
+    if m == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=m)
+    maxlen = int(lens.max())
+    pow31 = np.empty(maxlen + 1, dtype=np.int64)
+    pow31[0] = 1
+    for j in range(1, maxlen + 1):
+        pow31[j] = pow31[j - 1] * 31 % MOD
+    if maxlen == 0:
+        return np.zeros(m, dtype=np.int64), pow31[lens], lens
+    buf = np.frombuffer("".join(tokens).encode("utf-32-le"), dtype=np.uint32)
+    mat = np.zeros((m, maxlen), dtype=np.int64)
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    mat[mask] = buf  # row-major fill == concatenation order
+    acc = np.zeros(m, dtype=np.int64)
+    for j in range(maxlen):
+        col_mask = mask[:, j]
+        acc = np.where(col_mask, (acc * 31 + mat[:, j]) % MOD, acc)
+    return acc, pow31[lens], lens
+
+
+_PROFILE_SCHEMA = (
+    "doc_id long, shashes array<long>, minhashes array<long>, bands array<long>"
+)
+
+
+def shingle_profiles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(doc_id, shashes, minhashes, bands) per doc in ONE scan-local pass —
+    the near-dup signature kernel (r6 VERDICT #2 + r7 measurement): the old
+    plan posexploded tokens, window-sorted them per doc, hashed every
+    shingle character through interpreted higher-order-function lambdas
+    (measured ~20 µs/char — 23 s of CPU per MB of text), and re-aggregated
+    through two shuffles. This pass is guide-§4.2 vectorization: Arrow
+    batches in, numpy Horner over a codepoint matrix for the token hashes,
+    and the n-gram hash COMPOSED from token hashes
+    (h(a⊕' '⊕b) = ((h(a)·31+32)·31^len(b) + h(b)) mod P — exact modular
+    identity, no shingle strings materialized), then the 16 permutation
+    minima and 8 band folds as batch matrix ops. Values are bit-identical
+    to the SQL formulation (the DuckDB oracle is unchanged and stays
+    green). shashes = np.unique per doc (same SET as the old distinct).
+
+    Zero shuffles, zero joins; one Python stage whose batches are bounded
+    by arrow.maxRecordsPerBatch."""
+    import numpy as np
+    import pandas as pd
+
+    perms_a = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+    perms_b = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
+    n_bands = len(MINHASH_PERMS) // ROWS_PER_BAND
+
+    def kernel(it):
+        for pdf in it:
+            doc_ids = pdf["doc_id"].to_numpy()
+            texts = pdf["text"].tolist()
+            tok_lists = [("" if t is None else t).split(" ") for t in texts]
+            counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
+            flat_tokens = [t for tl in tok_lists for t in tl]
+            th, tp, _tl = _token_hash_batch(flat_tokens)
+            # per-doc shingle hashes by composition over sliding windows
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            sh_lists, mh_lists, band_lists = [], [], []
+            for d in range(len(tok_lists)):
+                h = th[starts[d] : starts[d + 1]]
+                p = tp[starts[d] : starts[d + 1]]
+                if len(h) < n:
+                    sh_lists.append(np.empty(0, dtype=np.int64))
+                    mh_lists.append([])
+                    band_lists.append([])
+                    continue
+                acc = h[: len(h) - (n - 1)].copy()
+                for j in range(1, n):
+                    hj = h[j : len(h) - (n - 1) + j]
+                    pj = p[j : len(h) - (n - 1) + j]
+                    acc = ((acc * 31 + 32) % MOD * pj + hj) % MOD
+                sh = np.unique(acc)
+                mins = np.min((perms_a[:, None] * sh[None, :] + perms_b[:, None]) % MOD, axis=1)
+                bands = np.empty(n_bands, dtype=np.int64)
+                for b_ix in range(n_bands):
+                    bacc = np.int64(0)
+                    for r in range(ROWS_PER_BAND):
+                        bacc = (bacc * 31 + mins[b_ix * ROWS_PER_BAND + r]) % MOD
+                    bands[b_ix] = bacc
+                sh_lists.append(sh)
+                mh_lists.append(mins)
+                band_lists.append(bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "shashes": sh_lists,
+                    "minhashes": mh_lists,
+                    "bands": band_lists,
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(kernel, schema=_PROFILE_SCHEMA)
+
+
+def shingle_hash_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(doc_id, shashes) — the DISTINCT word n-gram shingle hashes of each
+    doc as one array column (see :func:`shingle_profiles`)."""
+    return shingle_profiles(docs, id_col, text_col, n).select("doc_id", "shashes")
+
+
 def shingle_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc, as integer hashes."""
-    toks = _tokens(docs, id_col, text_col)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks
-    parts = [F.col("token")]
-    for i in range(1, n):
-        sh = sh.withColumn(f"_t{i}", F.lead("token", i).over(w))
-        parts.append(F.col(f"_t{i}"))
-    sh = sh.where(parts[-1].isNotNull()).withColumn(
-        "shingle", F.concat_ws(" ", *parts)
-    )
-    return (
-        sh.select(
-            F.col("doc_id").cast("bigint"),
-            F.expr(char_hash_sql("shingle", "spark")).alias("shash"),
-        )
-        .distinct()
+    """Distinct word n-gram shingles per doc, as integer hashes — the row
+    view of :func:`shingle_hash_arrays` (explode is narrow; rows are
+    already distinct per construction, so no dedup shuffle)."""
+    return shingle_hash_arrays(docs, id_col, text_col, n).select(
+        "doc_id", F.explode("shashes").alias("shash")
     )
 
 
@@ -128,6 +238,65 @@ def lsh_band_signatures(shingles: DataFrame) -> DataFrame:
     return folded
 
 
+def minhash_rows_from_profiles(profiles: DataFrame, k: int = len(MINHASH_PERMS)) -> DataFrame:
+    """(doc_id, perm_ix, minhash) from :func:`shingle_profiles` — identical
+    rows to ``minhash_signatures(shingle_hashes(docs))``, zero shuffles."""
+    return (
+        profiles.where(F.size("minhashes") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("minhashes", 1, k)).alias("perm_ix", "minhash"),
+        )
+        .select("doc_id", F.col("perm_ix").cast("bigint"), "minhash")
+    )
+
+
+def band_signatures_from_profiles(profiles: DataFrame) -> DataFrame:
+    """(doc_id, band_ix, band_hash) from :func:`shingle_profiles` —
+    identical rows to ``lsh_band_signatures(shingle_hashes(docs))``,
+    zero shuffles."""
+    return (
+        profiles.where(F.size("bands") > 0)
+        .select("doc_id", F.posexplode("bands").alias("band_ix", "band_hash"))
+        .select("doc_id", F.col("band_ix").cast("bigint"), "band_hash")
+    )
+
+
+def candidate_pairs_from_bands(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band bucket, with the
+    bucket-cap guard — the self-join half of `lsh_candidate_pairs`, shared
+    by the row and array pipelines (both join sides are the same subtree,
+    so the bucket-size window's exchange is built once and reused)."""
+    sized = bands.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band_ix", "band_hash")),
+    ).where(F.col("bucket_size") <= max_bucket)
+    a = sized.select("band_ix", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band_ix", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, on=["band_ix", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_local(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """`lsh_candidate_pairs` computed from the scan-local profile kernel:
+    shingles→minhash→bands never shuffle; the plan's only exchanges are the
+    bucket-size window (reused by both self-join sides) and the final
+    distinct. Identical rows to the row formulation."""
+    return candidate_pairs_from_bands(
+        band_signatures_from_profiles(shingle_profiles(docs, id_col, text_col)),
+        max_bucket=max_bucket,
+    )
+
+
 def lsh_candidate_pairs(
     shingles: DataFrame, max_bucket: int = 64, persist_bands: bool = False
 ) -> DataFrame:
@@ -161,13 +330,30 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats_local(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """`lsh_bucket_stats` fed by the scan-local profile kernel — identical
+    row, two aggregation shuffles total (band building no longer shuffles)."""
+    return _bucket_stats(
+        band_signatures_from_profiles(shingle_profiles(docs, id_col, text_col)),
+        max_bucket,
+    )
+
+
 def lsh_bucket_stats(shingles: DataFrame, max_bucket: int = 64) -> DataFrame:
     """Observability twin of `lsh_candidate_pairs`: how much did the
     cross-join-bomb guard drop?  One row: total buckets, buckets over the
     cap, doc-band rows discarded by the cap, and the largest bucket seen.
     A near-duplicate-heavy corpus silently loses recall when buckets
     overflow — surface it instead of guessing."""
-    bands = lsh_band_signatures(shingles)
+    return _bucket_stats(lsh_band_signatures(shingles), max_bucket)
+
+
+def _bucket_stats(bands: DataFrame, max_bucket: int) -> DataFrame:
     per_bucket = bands.groupBy("band_ix", "band_hash").agg(
         F.count(F.lit(1)).cast("bigint").alias("bucket_size")
     )
@@ -279,15 +465,50 @@ def near_dup_pairs(
                 f"got {persist_shingles!r}"
             )
         persist_shingles, _ = persist_decision(docs)
-    sh = shingle_hashes(docs, id_col, text_col)
+    # r7 fused pipeline: the per-doc signature kernel (shingle_profiles —
+    # scan-local, no token window, no distinct shuffle) feeds band
+    # signatures and the Jaccard verify, which is array_intersect on the
+    # two candidates' (distinct) shingle sets — |∩| and |∪| are identical
+    # to the row-join formulation's, but the verify is two broadcast joins
+    # of the (small) pair list against the array table instead of a
+    # corpus-scale row join + aggregation. The profile table feeds THREE
+    # branches (bands + both verify sides), hence the same adaptive
+    # persist as before.
+    arrs = (
+        shingle_profiles(docs, id_col, text_col)
+        .select("doc_id", "shashes", "bands")
+        .where(F.size("shashes") > 0)
+    )
     if persist_shingles:
         from pyspark import StorageLevel
 
         from dygiepp_spark.plans import cache
 
-        sh = cache.track(sh.persist(StorageLevel.MEMORY_AND_DISK))
-    cands = lsh_candidate_pairs(sh, persist_bands=persist_shingles)
-    jc = jaccard_counts(cands, sh)
+        arrs = cache.track(arrs.persist(StorageLevel.MEMORY_AND_DISK))
+    cands = candidate_pairs_from_bands(band_signatures_from_profiles(arrs))
+    sa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shashes").alias("_sh_a"),
+        F.size("shashes").cast("bigint").alias("_n_a"),
+    )
+    sb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shashes").alias("_sh_b"),
+        F.size("shashes").cast("bigint").alias("_n_b"),
+    )
+    jc = (
+        cands.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("bigint")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("_n_a") + F.col("_n_b") - F.col("n_inter")).cast("bigint").alias("n_union"),
+        )
+    )
     return jc.where(
         F.col("n_inter") * threshold_den >= F.col("n_union") * threshold_num
     )
@@ -295,22 +516,42 @@ def near_dup_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash over token hashes: bit b set iff the ±1 ballot of token
-    draws is positive. (doc_id, simhash) — integer arithmetic only."""
-    toks = _tokens(docs, id_col, text_col).select(
-        F.col("doc_id").cast("bigint"),
-        F.expr(_HASH_EXPR).alias("thash"),
+    draws is positive. (doc_id, simhash) — integer arithmetic only.
+
+    r7: same guide-§4.2 vectorization as :func:`shingle_profiles` — the old
+    plan exploded the token table and ran the char hash + 32 ballot CASEs
+    through interpreted HOF/codegen expressions (~23 s CPU per MB of text,
+    measured); this computes the identical integers as batch numpy: Horner
+    token hashes, a (32 × tokens) parity matrix, per-doc ballot sums via
+    reduceat. Empty tokens (consecutive spaces) hash to SQL NULL, whose
+    CASE falls through to −1 on every bit — replicated via the length
+    mask. Zero shuffles; bit-identical to the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    odd = np.array([2 * b + 3 for b in range(SIMHASH_BITS)], dtype=np.int64)
+    weights = np.array([1 << b for b in range(SIMHASH_BITS)], dtype=np.int64)
+
+    def kernel(it):
+        for pdf in it:
+            doc_ids = pdf["doc_id"].to_numpy()
+            tok_lists = [("" if t is None else t).split(" ") for t in pdf["text"]]
+            counts = np.fromiter(
+                (len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = [t for tl in tok_lists for t in tl]
+            th, _tp, tl = _token_hash_batch(flat)
+            sign = np.where(((odd[:, None] * th[None, :]) % MOD) % 2 == 0, 1, -1)
+            sign[:, tl == 0] = -1  # SQL NULL-hash ballot
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            sums = np.add.reduceat(sign, starts, axis=1)  # split() never yields []
+            vals = (weights[:, None] * (sums > 0)).sum(axis=0)
+            yield pd.DataFrame({"doc_id": doc_ids, "simhash": vals})
+
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), F.col(text_col).alias("text")
     )
-    ballots = [
-        F.sum(
-            F.when(((F.lit(2 * b + 3) * F.col("thash")) % MOD) % 2 == 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(*ballots)
-    val = F.lit(0).cast("bigint")
-    for b in range(SIMHASH_BITS):
-        val = val + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return agg.select("doc_id", val.cast("bigint").alias("simhash"))
+    return src.mapInPandas(kernel, schema="doc_id long, simhash long")
 
 
 def hamming_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 8) -> DataFrame:

@@ -1609,15 +1609,16 @@ def exact_dedup(spark, sf_dir):
 
 
 def minhash_signatures(spark, sf_dir):
+    # scan-local array pipeline (r7): identical rows, zero shuffles
     from dygiepp_spark.operators import dedup
 
-    return dedup.minhash_signatures(dedup.shingle_hashes(_docs(spark, sf_dir)))
+    return dedup.minhash_rows_from_profiles(dedup.shingle_profiles(_docs(spark, sf_dir)))
 
 
 def lsh_candidate_pairs(spark, sf_dir):
     from dygiepp_spark.operators import dedup
 
-    return dedup.lsh_candidate_pairs(dedup.shingle_hashes(_docs(spark, sf_dir)))
+    return dedup.lsh_candidate_pairs_local(_docs(spark, sf_dir))
 
 
 def near_dup_pairs(spark, sf_dir):
@@ -1656,7 +1657,7 @@ def lsh_bucket_stats(spark, sf_dir):
     doc-band rows the max_bucket cap drops (silent-loss detector)."""
     from dygiepp_spark.operators import dedup
 
-    return dedup.lsh_bucket_stats(dedup.shingle_hashes(_docs(spark, sf_dir)))
+    return dedup.lsh_bucket_stats_local(_docs(spark, sf_dir))
 
 
 def simhash_values(spark, sf_dir):
