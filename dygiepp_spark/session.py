@@ -34,6 +34,16 @@ _DEFAULTS = {
     # coalescing behavior is unchanged.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Joins (guide §3.1/§9): let the planner pick shuffled-hash over
+    # sort-merge when its size conditions hold, and let AQE rewrite
+    # sort-merge to shuffled-hash when every post-shuffle partition's map
+    # output is under the threshold — the KG message-passing and triangle
+    # joins are equi-joins on entity strings whose per-partition build
+    # sides are far below 128 MB, and the sort dominates their stages.
+    # Skew safety: AQE skew-join splitting (above) still applies; the
+    # threshold bounds per-task build memory.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.sql.session.timeZone": "UTC",

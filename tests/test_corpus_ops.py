@@ -13,7 +13,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, "documents", SF_DIR)
+    # orderBy: several tests take .limit(n) samples and compare ACROSS
+    # separate actions; since the r7 scan-parallelism floor the table is
+    # multi-partition, so an unordered limit is not stable between actions
+    return load_table(spark, "documents", SF_DIR).orderBy("doc_id")
 
 
 @pytest.fixture(scope="module")
