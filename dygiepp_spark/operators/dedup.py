@@ -405,14 +405,17 @@ def jaccard_counts(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
-# Measured crossover for the shingle/band persist (quiet host, 32 cores,
-# 3 reps each; re-recorded every round by bench.py near_dup_big /
-# near_dup_small): at est 1.7 MB (5k docs) the persist's materialization
-# job costs more than it saves (10.2 s vs 5.8 s — no-persist 1.8× faster);
-# at est 4.6 MB (20k docs) persist wins 2.1× (6.2 s vs 13.1 s), at 11.4 MB
-# (50k docs) 2.6×, at ~23 MB (100k docs) 2.7–5.4×, growing with corpus
-# size (the no-persist plan re-tokenizes the corpus once per branch — 8
-# scans). 4 MB sits inside the measured 1.7–4.6 MB crossover gap.
+# Measured crossover for the signature-profile persist (re-recorded every
+# round by bench.py near_dup_big / near_dup_small). r7, with the
+# vectorized kernel (the recompute per branch got ~6× cheaper, so the
+# persist's margin shrank but the ORDER is unchanged): at est 1.7 MB
+# (5k docs) no-persist still edges out (2.39 s vs 2.50 s), at est 4.6 MB
+# (20k docs) persist wins 1.4× (1.53 s vs 2.19 s), at ~23 MB (100k docs)
+# 1.2× (2.6 s vs 3.0 s) and the gap grows with corpus size (three kernel
+# recomputes per run without it). 4 MB still sits inside the measured
+# 1.7–4.6 MB crossover gap — threshold re-validated, not moved.
+# (r6 history: pre-kernel the split was 10.2/5.8 s at 5 k and 6.2/13.1 s
+# at 20 k — same winners.)
 PERSIST_AUTO_THRESHOLD_BYTES = 4 * 1024 * 1024
 
 

@@ -60,84 +60,77 @@ def prune_topk_local(
     shuffled the FULL enumerated span table (surfaces included — ~50 MB at
     sf0.1 for 5 k turns) into a row_number window and then a second window
     for the order restore. But the beam group key (conv, turn) IS the input
-    row key, so top-k per turn is array algebra on the same row: enumerate
-    span structs, array_sort by (−score, start, end), slice k, index for
-    beam_rank, re-sort by (start, end), index for span_order. ZERO
-    shuffles, identical rows (same dyadic score expression, same
-    deterministic tie-breaks — spans are unique per (start, end)).
-
-    Output matches ``prune_topk(scored_enumerated_spans, ...)``:
+    row key, so top-k per turn needs no shuffle at all. This is a
+    guide-§4.2 batch kernel (a first attempt as JVM array_sort over span
+    structs measured 10× the window plan's CPU — interpreted struct
+    comparators): spans are enumerated as numpy index arrays, the score
+    needs only the SURFACE LENGTH (prefix-sums of token lengths — no
+    surface strings built), lexsort picks the beam, and surfaces are
+    materialized for the ≤k survivors only. Dyadic score arithmetic and
+    (−score, start, end) tie-breaks are exact, so rows are identical to
+    ``prune_topk(scored_enumerated_spans, ...)``:
     (conv_id, turn_idx, n_tokens, start, end, surface, width, raw_score,
     beam_rank, span_order)."""
+    import math
+
     from dygiepp_spark.config import PipelineConfig
-    from dygiepp_spark.functions import scoring
 
     cfg = cfg or PipelineConfig()
     w = cfg.max_span_width
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
+    ratio, keep_min, keep_cap = float(spans_per_word), int(min_keep), cap
 
-    def _span(s, e):
-        surface = F.array_join(F.slice(toks, s + 1, e - s + 1), " ")
-        width = (e - s + 1).cast("int")
-        return F.struct(
-            (-scoring.raw_score_col(surface, width)).alias("_neg"),
-            s.cast("int").alias("start"),
-            e.cast("int").alias("end"),
-            surface.alias("surface"),
-        )
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
 
-    spans_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda s: F.transform(
-                F.sequence(s, F.least(s + F.lit(w - 1), n - 1)),
-                lambda e: _span(s, e),
-            ),
-        )
-    )
-    k = F.greatest(
-        F.lit(min_keep), F.ceil(F.lit(spans_per_word) * n).cast("int")
-    )
-    if cap is not None:
-        k = F.least(k, F.lit(cap))
-    beam = F.transform(
-        F.slice(F.array_sort(spans_arr), F.lit(1), k),
-        lambda x, i: F.struct(
-            x["start"].alias("start"),
-            x["end"].alias("end"),
-            x["surface"].alias("surface"),
-            (i + 1).cast("int").alias("beam_rank"),
+        for pdf in it:
+            out = {c: [] for c in (
+                "conv_id", "turn_idx", "n_tokens", "start", "end", "surface",
+                "width", "raw_score", "beam_rank", "span_order",
+            )}
+            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                toks = ("" if text is None else text).split(" ")
+                n = len(toks)
+                counts = np.minimum(w, n - np.arange(n))
+                m = int(counts.sum())
+                s_ix = np.repeat(np.arange(n), counts)
+                e_ix = np.arange(m) - np.repeat(
+                    np.concatenate(([0], np.cumsum(counts)))[:-1], counts
+                ) + s_ix
+                cs = np.concatenate(
+                    ([0], np.cumsum(np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)))
+                )
+                width = e_ix - s_ix + 1
+                surf_len = cs[e_ix + 1] - cs[s_ix] + (width - 1)
+                score = ((surf_len * 7 + width * 3) % 16) / 16.0 + width
+                k = max(keep_min, math.ceil(ratio * n))
+                if keep_cap is not None:
+                    k = min(k, keep_cap)
+                beam = np.lexsort((e_ix, s_ix, -score))[:k]
+                # beam_rank = 1-based position in score order; then restore
+                # original (start, end) order with span_order
+                order = np.lexsort((e_ix[beam], s_ix[beam]))
+                for span_order0, bpos in enumerate(order):
+                    s, e = int(s_ix[beam[bpos]]), int(e_ix[beam[bpos]])
+                    out["conv_id"].append(conv)
+                    out["turn_idx"].append(turn)
+                    out["n_tokens"].append(n)
+                    out["start"].append(s)
+                    out["end"].append(e)
+                    out["surface"].append(" ".join(toks[s : e + 1]))
+                    out["width"].append(e - s + 1)
+                    out["raw_score"].append(float(score[beam[bpos]]))
+                    out["beam_rank"].append(bpos + 1)
+                    out["span_order"].append(span_order0 + 1)
+            yield pd.DataFrame(out)
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel,
+        schema=(
+            "conv_id string, turn_idx int, n_tokens int, start int, end int, "
+            "surface string, width int, raw_score double, beam_rank int, "
+            "span_order int"
         ),
-    )
-    restored = F.transform(
-        F.array_sort(beam),
-        lambda x, i: F.struct(
-            x["start"], x["end"], x["surface"], x["beam_rank"],
-            (i + 1).cast("int").alias("span_order"),
-        ),
-    )
-    width = (F.col("end") - F.col("start") + 1).cast("int")
-    return (
-        turns.select(
-            "conv_id",
-            "turn_idx",
-            n.cast("int").alias("n_tokens"),
-            F.explode(restored).alias("sp"),
-        )
-        .select("conv_id", "turn_idx", "n_tokens", "sp.*")
-        .select(
-            "conv_id",
-            "turn_idx",
-            "n_tokens",
-            "start",
-            "end",
-            "surface",
-            width.alias("width"),
-            scoring.raw_score_col(F.col("surface"), width).alias("raw_score"),
-            "beam_rank",
-            "span_order",
-        )
     )
 
 

@@ -109,85 +109,117 @@ def lang_profiles(docs: DataFrame, lang_col: str = "lang", text_col: str = "text
     )
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            lang_col: str = "lang", persist: bool | str = "auto") -> DataFrame:
-    """Predict language by profile-overlap argmax (tie-break lang asc);
-    returns (doc_id, pred_lang, actual_lang, is_correct). Profiles are a
-    broadcast-sized table."""
-    # ONE corpus scan + ONE bigram pass (was 3 scans / 2 explodes). r7: the
-    # per-char substring explode ran through interpreted expressions
-    # (~20 µs/char) and materialized one row per bigram OCCURRENCE; the
-    # kernel below (guide §4.2) counts bigrams per doc in one Python batch
-    # pass and emits one row per DISTINCT (doc, bigram) with its count —
-    # ~8× fewer persisted rows, ~10× less CPU. Occurrence counts are
-    # preserved exactly (profile cnt = Σ per-doc counts; overlap = Σ counts
-    # of matched bigrams), so profiles, tie-breaks, and predictions are
-    # byte-identical to the explode plan and the DuckDB oracle is
-    # unchanged. The gram edge cases of Spark's sequence(1, len-1) +
-    # substring (len 1 → [t, t]; len 0 → ['','','']) are replicated
-    # verbatim.
-    # The counts table feeds TWO branches (profile aggregation + scoring
-    # join); the persist is adaptive (maybe_persist on the docs scan, the
-    # r5-VERDICT-#4 convention): above the crossover one kernel pass serves
-    # both branches from cache, below it the two-pass recompute is cheaper
-    # than the materialization job.
+def _bigram_counter(text):
+    """Per-doc bigram occurrence counts, replicating Spark's
+    sequence(1, len-1) + substring(i, 2) edge cases verbatim (len 1 →
+    [t, t]; len 0 → ['', '', ''] — the descending-sequence quirk)."""
     from collections import Counter
 
-    from dygiepp_spark.plans import cache
+    t = "" if text is None else text
+    ln = len(t)
+    if ln >= 2:
+        return Counter(t[i - 1 : i + 1] for i in range(1, ln))
+    if ln == 1:
+        return {t: 2}
+    return {"": 3}
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            lang_col: str = "lang", max_profile_rows: int = 100_000) -> DataFrame:
+    """Predict language by profile-overlap argmax (tie-break lang asc);
+    returns (doc_id, pred_lang, actual_lang, is_correct).
+
+    r7 plan (two passes, ~2 jobs): the old plan exploded one row per
+    bigram OCCURRENCE through interpreted char expressions (~20 µs/char),
+    persisted that table, broadcast the profile table into a scoring join
+    and ranked with a second window — 8 jobs / 20 stages of mostly
+    latency. Now:
+      1. a batch kernel (guide §4.2) counts bigrams per doc and emits one
+         row per DISTINCT (doc, bigram); the per-language top-PROFILE_SIZE
+         profile is one partial-agg shuffle + window over per-language
+         candidates, COLLECTED to the driver — bounded by construction at
+         n_languages × PROFILE_SIZE rows (guarded by ``max_profile_rows``
+         via a limit'd collect, the similarity.py bounded-collect
+         convention);
+      2. a second scan-local kernel scores every doc against the in-memory
+         profile dict and emits the argmax directly — no join, no
+         per-doc window, no persisted intermediate.
+    Occurrence counts are preserved exactly (profile cnt = Σ per-doc
+    counts; overlap = Σ counts of matched bigrams) and the tie-breaks
+    (profile: cnt desc, bigram asc; prediction: overlap desc, lang asc;
+    docs with zero overlap emit nothing) replicate the SQL formulation,
+    so rows are byte-identical and the DuckDB oracle is unchanged."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("actual_lang"),
+        F.col(text_col).alias("text"),
+    )
 
     def _gram_counts(it):
         import pandas as pd
 
         for pdf in it:
-            ids, langs, bgs, cnts = [], [], [], []
-            for doc_id, lang, text in zip(pdf["doc_id"], pdf["actual_lang"], pdf["text"]):
-                t = "" if text is None else text
-                ln = len(t)
-                if ln >= 2:
-                    c = Counter(t[i - 1 : i + 1] for i in range(1, ln))
-                elif ln == 1:
-                    c = {t: 2}
-                else:
-                    c = {"": 3}
-                for g, k in c.items():
-                    ids.append(doc_id)
+            langs, bgs, cnts = [], [], []
+            for lang, text in zip(pdf["actual_lang"], pdf["text"]):
+                for g, k in _bigram_counter(text).items():
                     langs.append(lang)
                     bgs.append(g)
                     cnts.append(k)
-            yield pd.DataFrame(
-                {"doc_id": ids, "actual_lang": langs, "bigram": bgs, "cnt": cnts}
-            )
+            yield pd.DataFrame({"actual_lang": langs, "bigram": bgs, "cnt": cnts})
 
-    grams = cache.maybe_persist(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(lang_col).alias("actual_lang"),
-            F.col(text_col).alias("text"),
-        ).mapInPandas(
-            _gram_counts,
-            schema="doc_id long, actual_lang string, bigram string, cnt long",
-        ),
-        decide_on=docs,
-        persist=persist,
-    )
     prof_w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("bigram"))
     profiles = (
-        grams.groupBy(F.col("actual_lang").alias("lang"), "bigram")
+        src.mapInPandas(_gram_counts, schema="actual_lang string, bigram string, cnt long")
+        .groupBy(F.col("actual_lang").alias("lang"), "bigram")
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("rnk", F.row_number().over(prof_w))
         .where(F.col("rnk") <= PROFILE_SIZE)
         .select("lang", "bigram")
     )
-    scores = (
-        grams.join(F.broadcast(profiles), on="bigram")
-        .groupBy("doc_id", "actual_lang", "lang")
-        .agg(F.sum("cnt").alias("overlap"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("lang").asc())
-    pred = scores.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
-    return pred.select(
-        F.col("doc_id").cast("bigint"),
-        F.col("lang").alias("pred_lang"),
-        "actual_lang",
-        (F.col("lang") == F.col("actual_lang")).alias("is_correct"),
+    rows = profiles.limit(max_profile_rows + 1).collect()
+    if len(rows) > max_profile_rows:
+        raise ValueError(
+            f"language profile table exceeds max_profile_rows="
+            f"{max_profile_rows} (lang column cardinality too high for the "
+            "driver-side profile dict); raise the cap or pre-bucket langs"
+        )
+    prof: dict = {}
+    for r in rows:
+        prof.setdefault(r["lang"], set()).add(r["bigram"])
+    # lang asc with NULL first (Spark's asc ordering) — the prediction
+    # tie-break; the None guard keeps a NULL-lang corpus from raising
+    prof_items = sorted(prof.items(), key=lambda kv: (kv[0] is not None, kv[0] or ""))
+
+    def _score(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, preds, actuals, corrects = [], [], [], []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["actual_lang"], pdf["text"]):
+                c = _bigram_counter(text)
+                best_lang, best_ov = None, 0
+                for lg, bigs in prof_items:  # lang asc → first max wins ties
+                    ov = sum(c[g] for g in bigs if g in c)
+                    if ov > best_ov:
+                        best_lang, best_ov = lg, ov
+                if best_lang is None:
+                    continue  # zero overlap with every profile → no row
+                ids.append(doc_id)
+                preds.append(best_lang)
+                actuals.append(lang)
+                corrects.append(
+                    None if lang is None else bool(best_lang == lang)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "pred_lang": preds,
+                    "actual_lang": actuals,
+                    "is_correct": pd.array(corrects, dtype="boolean"),
+                }
+            )
+
+    return src.mapInPandas(
+        _score,
+        schema="doc_id long, pred_lang string, actual_lang string, is_correct boolean",
     )

@@ -2433,13 +2433,19 @@ _ROTATED_TAIL = [
     # re-verified locally via check_gate; token_counts/doc_fingerprints of
     # the same family are already tail, lang_id_predict stays in-window)
     "quality_scores",
-    # (r6: antecedent_stats / distance_bucket_hist rotated in to make
-    # window room for the new fuzzy entity-linking pair — each
-    # driver-green r04+r05, pruning.py untouched this round, re-verified
-    # locally via check_gate; prune_topk stays in-window as the pruning
-    # family's representative)
-    "antecedent_stats",
-    "distance_bucket_hist",
+    # (r7: antecedent_stats / distance_bucket_hist rotated BACK into the
+    # window — their builders now run the fused prune_topk_local path, and
+    # changed-operator queries must be driver-gated; in exchange
+    # trigger_metrics / argument_metrics / multi_trigger_stats /
+    # embedding_cosine_topk rotate out: each driver-green r05+r06,
+    # metrics.py micro-prf and similarity.py untouched in r7,
+    # re-verified locally via check_gate. ner_metrics / relation_metrics
+    # stay in-window for the micro-prf family and embedding_ivf_* for the
+    # similarity family.)
+    "trigger_metrics",
+    "argument_metrics",
+    "multi_trigger_stats",
+    "embedding_cosine_topk",
     # (r6 late: multi_dataset_union rotated out to make window room for
     # the new kg_triangles — driver-green r03+r04+r05, metrics.py F7
     # fan-out untouched this round, re-verified locally via check_gate;
@@ -2460,11 +2466,13 @@ _ROTATED_TAIL = [
     # gold_align_coref stays in-window for spans.py alignment and
     # event_triggers / event_arguments / overlap_merge stay in-window
     # for extract.py)
-    "ner_align_counts",
+    # (r7: ner_align_counts and span_enum_counts rotated BACK into the
+    # window — ner_align_counts consumes the rewritten array-form
+    # ner_mentions and span_enum_counts now computes the closed-form
+    # count, both changed this round)
     "event_arg_stats",
     "binary_metadata",
     "doc_assembly_offsets",
-    "span_enum_counts",
     "length_guard",
     "doc_split",
     "gold_align_relations",

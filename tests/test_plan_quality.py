@@ -208,40 +208,22 @@ def test_ivf_fixed_single_scan_no_corpus_window(spark):
     assert len(windows) <= 1, windows
 
 
-def test_lang_id_single_corpus_scan(spark):
-    """The bigram-count kernel output feeds profile-building AND scoring,
-    with actual_lang carried through the groupBy instead of a join back to
-    documents. SCALE regime (persist=True — what auto picks above the
-    crossover): the tracked persist serves both branches from cache —
-    exactly ONE parquet scan. TINY regime (registry default auto at
-    sf0.001): no materialization job, the two branches recompute the
-    (cheap) kernel — 2 scans, no cache (r5 VERDICT #4 convention)."""
-    from dygiepp_spark.operators import text_quality
-    from dygiepp_spark.plans import cache
-    from dygiepp_spark.tables import load_table
-
-    docs = load_table(spark, "documents", SF)
-    with cache.scoped():
-        df = text_quality.lang_id(docs, persist=True)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+def test_lang_id_two_pass_no_join(spark):
+    """r7 plan: the profile pass collects the (bounded,
+    n_langs × PROFILE_SIZE) profile dict to the driver and the scoring
+    pass folds it into a scan-local kernel — so the FINAL plan is ONE
+    corpus scan with NO join, NO window, and NO cached intermediate (the
+    profile pass is a separate, already-executed job). The old plan's
+    broadcast scoring join + per-doc ranking window are pinned out."""
+    plan = _plan(spark, "lang_id_predict")
     scans = sum(
         1 for line in plan.splitlines()
         if "Scan parquet" in line and line.strip().startswith("(")
     )
     assert scans == 1, f"{scans} parquet scans"
-    assert "InMemoryTableScan" in plan
-
-    plan_auto = _plan(spark, "lang_id_predict")
-    assert "InMemoryTableScan" not in plan_auto
-    scans_auto = sum(
-        1 for line in plan_auto.splitlines()
-        if "Scan parquet" in line and line.strip().startswith("(")
-    )
-    assert scans_auto == 2, f"{scans_auto} parquet scans\n"
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "InMemoryTableScan" not in plan
 
 
 def _count_scans(plan: str) -> int:
