@@ -1682,9 +1682,10 @@ def simhash_values(spark, sf_dir):
 
 
 def embedding_dot_topk(spark, sf_dir):
+    # r7: exact int64-matmul kernel path — identical rows, ~50× less CPU
     from dygiepp_spark.operators import similarity
 
-    return similarity.dot_topk(_emb(spark, sf_dir), k=3, n_queries=32)
+    return similarity.dot_topk_local(_emb(spark, sf_dir), k=3, n_queries=32)
 
 
 def embedding_lsh_buckets(spark, sf_dir):
@@ -2419,13 +2420,18 @@ _ROTATED_TAIL = [
     # rotated in to make window room for the new canonical_merge_increment:
     # driver-green r01/r02/r04, multimodal.py untouched this round,
     # re-verified locally via check_gate)
-    # (r6: embedding_dot_topk / embedding_lsh_buckets /
-    # embedding_bucket_stats rotated in to make window room for the new
-    # KG-analytics family — each driver-green r04+r05, similarity.py
-    # untouched this round, re-verified locally via check_gate;
-    # embedding_ivf_fixed and embedding_near_dup stay in-window as the
-    # family's scale-path representatives)
-    "embedding_dot_topk",
+    # (r6: embedding_lsh_buckets / embedding_bucket_stats rotated in to
+    # make window room for the new KG-analytics family — each driver-green
+    # r04+r05, re-verified locally via check_gate; embedding_ivf_fixed and
+    # embedding_near_dup stay in-window as the family's scale-path
+    # representatives)
+    # (r7: embedding_dot_topk rotated BACK into the window — its builder
+    # now runs the int64-matmul kernel path (similarity.dot_topk_local),
+    # and changed operators must be driver-gated; frame_sample_check
+    # rotates out in exchange: driver-green r05+r06, multimodal.py
+    # untouched in r7, re-verified locally via check_gate;
+    # multimodal_decode_check stays in-window for the multimodal family)
+    "frame_sample_check",
     "embedding_lsh_buckets",
     "embedding_bucket_stats",
     # (r6: quality_scores rotated in for the new canonical_triples_coref —
