@@ -120,38 +120,45 @@ def clusters_via_components(
             "conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"
         )
 
-    from dygiepp_spark.operators.extract import _entity_label
+    from dygiepp_spark.functions.lexicons import ENTITY_TYPES
 
-    # scan-local single-token entity mentions with doc-level positions:
-    # the window computes per-turn offsets (one shuffle, carries text);
-    # the mention explode is a narrow projection on top of it
-    toks = F.split(F.col("text"), " ")
-    indexed = F.transform(
-        toks, lambda t, i: F.struct(i.cast("int").alias("pos"), t.alias("token"))
-    )
-    ments = F.filter(indexed, lambda x: _entity_label(x["token"]).isNotNull())
-    m = (
-        with_sentence_starts(turns)
-        .select(
-            "conv_id",
-            "turn_idx",
-            "sentence_start",
-            F.explode(ments).alias("m"),
-        )
-        .select(
-            "conv_id",
-            F.col("turn_idx").cast("int").alias("turn_idx"),
-            F.col("m.pos").alias("start"),
-            F.col("m.pos").alias("end"),
-            F.col("m.token").alias("surface"),
-            (F.col("sentence_start") + F.col("m.pos")).cast("bigint").alias("doc_pos"),
-        )
-    )
-
+    # r7 second fusion step: the previous fused plan still computed the
+    # per-turn offsets window and the mention explode as JVM expressions —
+    # and Catalyst evaluates the interpreted HOF mention filter in the
+    # map-side project BELOW the window exchange (measured 14.2 s of
+    # executor CPU at sf0.1 — the 17-branch label CASE per token again).
+    # But offsets (a cumsum over turn_idx order), mention extraction (a
+    # dictionary lookup per token), edge derivation, and union-find are ALL
+    # conversation-local, so the ONE groupBy(conv) Python pass now does all
+    # four directly from raw (conv_id, turn_idx, text): the plan is one
+    # hash(conv) exchange carrying the text it would have carried into the
+    # window anyway, and zero interpreted expression evaluation. Rows are
+    # identical: dict lookup ≡ the label CASE (parity-pinned for the
+    # kernels in test_extract), Python cumsum ≡ the rowsBetween(-∞,-1)
+    # window (with size(split(NULL))'s NULL contributing 0), and the
+    # union-find/lag logic is byte-for-byte the previous kernel's.
     gap = max_gap
+    ent_set = frozenset(ENTITY_TYPES)
 
     def _fused(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_pos")
+        pdf = pdf.sort_values("turn_idx")
+        conv_ids, turn_idxs, starts, surfaces, doc_positions = [], [], [], [], []
+        offset = 0
+        for conv, turn, text in zip(
+            pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
+        ):
+            if text is None:
+                continue  # size(split(NULL)) is NULL: the window sum skips it
+            toks = text.split(" ")
+            for i, tk in enumerate(toks):
+                if tk in ent_set:
+                    conv_ids.append(conv)
+                    turn_idxs.append(turn)
+                    starts.append(i)
+                    surfaces.append(tk)
+                    doc_positions.append(offset + i)
+            offset += len(toks)
+
         parent: dict = {}
 
         def find(x):
@@ -163,25 +170,34 @@ def clusters_via_components(
             return root
 
         last: dict = {}  # surface -> previous mention doc_pos (lag semantics)
-        for dp, surf in zip(pdf["doc_pos"], pdf["surface"]):
+        for dp, surf in zip(doc_positions, surfaces):
             ant = last.get(surf)
             if ant is not None and (gap is None or dp - ant <= gap):
                 ra, rb = find(dp), find(ant)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
             last[surf] = dp
+        cols = ["conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"]
         if not parent:
-            return pdf.iloc[0:0].assign(cluster_id=pd.Series(dtype="int64"))[
-                ["conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"]
-            ]
+            return pd.DataFrame({c: [] for c in cols})
         comp = {n: find(n) for n in parent}
-        out = pdf[pdf["doc_pos"].isin(comp)].copy()
-        out["cluster_id"] = out["doc_pos"].map(comp)
-        return out[
-            ["conv_id", "cluster_id", "turn_idx", "start", "end", "surface", "doc_pos"]
-        ]
+        out = {c: [] for c in cols}
+        for conv, turn, s, surf, dp in zip(
+            conv_ids, turn_idxs, starts, surfaces, doc_positions
+        ):
+            root = comp.get(dp)
+            if root is None:  # singleton: no edge ever touched it
+                continue
+            out["conv_id"].append(conv)
+            out["cluster_id"].append(root)
+            out["turn_idx"].append(turn)
+            out["start"].append(s)
+            out["end"].append(s)
+            out["surface"].append(surf)
+            out["doc_pos"].append(dp)
+        return pd.DataFrame(out)
 
-    return m.groupBy("conv_id").applyInPandas(
+    return turns.select("conv_id", "turn_idx", "text").groupBy("conv_id").applyInPandas(
         _fused,
         schema=(
             "conv_id string, cluster_id long, turn_idx int, start int, end int, "

@@ -47,6 +47,12 @@ def entity_tokens(turns: DataFrame) -> DataFrame:
     )
 
 
+_NER_SCHEMA = (
+    "conv_id string, turn_idx int, start int, end int, label string, "
+    "surface string, raw_score double, softmax_score double"
+)
+
+
 def ner_mentions(turns: DataFrame, include_modifier_spans: bool = True) -> DataFrame:
     """E1 — decoded NER mentions.
 
@@ -54,7 +60,71 @@ def ner_mentions(turns: DataFrame, include_modifier_spans: bool = True) -> DataF
     lexicon; a modifier immediately followed by an entity token forms a
     width-2 mention with the entity's type (this exercises multi-token spans
     and the overlap-merge operator downstream).
+
+    r7 (guide §4.2): batch-kernel form — the array-algebra twin
+    (``ner_mentions_expr``) pays interpreted per-element lambda evaluation
+    (~7.7 s executor CPU at sf0.1, dominated by the 17-branch label CASE
+    running per candidate); the same per-turn dictionary lookup in a
+    mapInPandas kernel is ~30× cheaper. Rows (incl. dyadic scores) are
+    bit-identical — pinned by test_extract's kernel/expr parity sweep.
+    Only (conv_id, turn_idx, text) crosses the boundary inward.
     """
+    ent_map = dict(_ENTITY_MAP_ITEMS)
+    mod_set = frozenset(MODIFIERS) if include_modifier_spans else frozenset()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "start": [], "end": [],
+                "label": [], "surface": [], "raw_score": [], "softmax_score": [],
+            }
+
+            def emit(conv, turn, s, e, lab, surf, width):
+                k = (len(surf) * 7 + width * 3) % 16
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(turn)
+                out["start"].append(s)
+                out["end"].append(e)
+                out["label"].append(lab)
+                out["surface"].append(surf)
+                out["raw_score"].append(k / 16.0 + width)
+                out["softmax_score"].append(k / 32.0 + 0.5)
+
+            for conv, turn, text in zip(
+                pdf["conv_id"].tolist(),
+                pdf["turn_idx"].tolist(),
+                pdf["text"].tolist(),
+            ):
+                if not text:
+                    continue
+                toks = text.split(" ")
+                last = len(toks) - 1
+                for i, tk in enumerate(toks):
+                    lab = ent_map.get(tk)
+                    if lab is not None:
+                        emit(conv, turn, i, i, lab, tk, 1)
+                    elif tk in mod_set and i < last:
+                        lab2 = ent_map.get(toks[i + 1])
+                        if lab2 is not None:
+                            emit(
+                                conv, turn, i, i + 1, lab2,
+                                tk + " " + toks[i + 1], 2,
+                            )
+            yield pd.DataFrame(out)
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, schema=_NER_SCHEMA
+    )
+
+
+def ner_mentions_expr(
+    turns: DataFrame, include_modifier_spans: bool = True
+) -> DataFrame:
+    """Column-expression twin of :func:`ner_mentions` (pre-r7 kernel
+    default) — kept for the parity pin and as the no-Python-boundary
+    fallback."""
     # Scan-local array formulation (r7): the old plan posexploded tokens and
     # ran a lead() window partitioned by (conv, turn) — a corpus-token-scale
     # sort shuffle whose only purpose was to see token i+1, which the token
@@ -113,6 +183,13 @@ def predicate_tokens(turns: DataFrame) -> DataFrame:
     return tokens_view(turns).where(F.col("token").isin(list(PREDICATES)))
 
 
+_TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx int, subj_start int, subj_end int, "
+    "subj_surface string, pred string, obj_start int, obj_end int, "
+    "obj_surface string, raw_score double, softmax_score double"
+)
+
+
 def relation_triples(turns: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """E2 — the triple emitter: (subj_span, pred_label, obj_span).
 
@@ -121,6 +198,104 @@ def relation_triples(turns: DataFrame, cfg: PipelineConfig | None = None) -> Dat
     iff a predicate token lies strictly between them; the predicate is the
     earliest such token (deterministic tie-break). Matches the reference's
     relation arity/within-sentence constraint (doc/data.md:44-51).
+
+    r7 (guide §4.2): the higher-order-function formulation is kept as the
+    columnar twin (``relation_triples_expr``, parity-pinned in
+    test_extract), but HOF lambdas are interpreted per element — measured
+    5.4 s of executor CPU for the sf0.1 corpus's 149 k triples, and 13-18 s
+    in the dedup/canonical consumers where the un-pruned struct arrays ride
+    along. The same search as a per-turn sorted-position sweep in a batch
+    kernel is ~20-50× cheaper CPU: the first predicate strictly after the
+    subject is THE earliest in-between predicate for every object of that
+    subject (positions are scanned in ascending order), so each pair is a
+    bisect, not an array filter. Only (conv_id, turn_idx, text) crosses the
+    Python boundary inward (explicit select — guide §4.1), and emitted rows
+    are bit-identical to the expression twin: surfaces and predicates are
+    lexicon tokens, scores are dyadic rationals (functions/scoring.py), and
+    Python ``str.split(" ")``/``len`` agree with Spark's
+    ``split(text, ' ')``/``length`` on code points.
+    """
+    cfg = cfg or PipelineConfig()
+    maxd = int(cfg.max_pair_distance)
+    ent_set = frozenset(ENTITY_TYPES)
+    pred_set = frozenset(PREDICATES)
+
+    def kernel(batches):
+        from bisect import bisect_right
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "subj_start": [],
+                "subj_surface": [], "pred": [], "obj_start": [],
+                "obj_surface": [], "raw_score": [], "softmax_score": [],
+            }
+            for conv, turn, text in zip(
+                pdf["conv_id"].tolist(),
+                pdf["turn_idx"].tolist(),
+                pdf["text"].tolist(),
+            ):
+                if not text:  # NULL/empty text: split yields no lexicon hits
+                    continue
+                toks = text.split(" ")
+                ents: list[int] = []
+                preds: list[int] = []
+                for i, tk in enumerate(toks):
+                    if tk in ent_set:
+                        ents.append(i)
+                    elif tk in pred_set:  # lexicons are disjoint (asserted below)
+                        preds.append(i)
+                if not ents or not preds:
+                    continue
+                n_preds = len(preds)
+                for si, s in enumerate(ents):
+                    hi = bisect_right(ents, s + maxd, si + 1)
+                    if hi == si + 1:
+                        continue
+                    pi = bisect_right(preds, s)
+                    if pi >= n_preds:
+                        break  # positions ascend: no later subject has one either
+                    p = preds[pi]
+                    subj_tok = toks[s]
+                    pred_up = toks[p].upper()
+                    for o in ents[si + 1 : hi]:
+                        if p >= o:  # earliest pred after s not before o ⇒ none between
+                            continue
+                        obj_tok = toks[o]
+                        width = o - s + 1
+                        k = (
+                            (len(subj_tok) + 1 + len(obj_tok)) * 7 + width * 3
+                        ) % 16
+                        out["conv_id"].append(conv)
+                        out["turn_idx"].append(turn)
+                        out["subj_start"].append(s)
+                        out["subj_surface"].append(subj_tok)
+                        out["pred"].append(pred_up)
+                        out["obj_start"].append(o)
+                        out["obj_surface"].append(obj_tok)
+                        out["raw_score"].append(k / 16.0 + width)
+                        out["softmax_score"].append(k / 32.0 + 0.5)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["subj_end"] = pdf_out["subj_start"]
+            pdf_out["obj_end"] = pdf_out["obj_start"]
+            yield pdf_out[[
+                "conv_id", "turn_idx", "subj_start", "subj_end",
+                "subj_surface", "pred", "obj_start", "obj_end",
+                "obj_surface", "raw_score", "softmax_score",
+            ]]
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, schema=_TRIPLE_SCHEMA
+    )
+
+
+def relation_triples_expr(
+    turns: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """The column-expression twin of :func:`relation_triples` (pre-r7
+    default implementation) — same rule model as JVM array algebra, kept
+    for the kernel parity pin and as the no-Python-boundary fallback.
 
     Scale: self-join + predicate join are all equi-joins on
     (conv_id, turn_idx) with bounded range predicates — partition-local
@@ -241,6 +416,12 @@ def event_triggers(turns: DataFrame) -> DataFrame:
     )
 
 
+_EVENT_ARG_SCHEMA = (
+    "conv_id string, turn_idx int, trigger_ix int, event_type string, "
+    "arg_start int, arg_end int, arg_surface string, role string"
+)
+
+
 def event_arguments(turns: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """E6 — decoded (trigger, argument) pairs, gated on the trigger having
     decoded non-null (reference events.py:359-382: arguments of null
@@ -249,7 +430,75 @@ def event_arguments(turns: DataFrame, cfg: PipelineConfig | None = None) -> Data
     Rule model: arguments are entity tokens within max_arg_distance of the
     trigger; role = ARG_BEFORE / ARG_AFTER by side. Distance features mirror
     the reference's trigger-argument embedding distances
-    (events.py:222-266)."""
+    (events.py:222-266).
+
+    r7 (guide §4.2): batch-kernel form, same rationale/parity contract as
+    :func:`relation_triples` (expr twin kept as
+    ``event_arguments_expr``) — the trigger×argument window is a bisect
+    over sorted entity positions instead of an interpreted array filter
+    per trigger (~3.9 s executor CPU at sf0.1 → sub-second)."""
+    cfg = cfg or PipelineConfig()
+    maxd = int(cfg.max_arg_distance)
+    ent_set = frozenset(ENTITY_TYPES)
+    pred_set = frozenset(PREDICATES)
+
+    def kernel(batches):
+        from bisect import bisect_left, bisect_right
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "conv_id": [], "turn_idx": [], "trigger_ix": [],
+                "event_type": [], "arg_start": [], "arg_surface": [],
+                "role": [],
+            }
+            for conv, turn, text in zip(
+                pdf["conv_id"].tolist(),
+                pdf["turn_idx"].tolist(),
+                pdf["text"].tolist(),
+            ):
+                if not text:
+                    continue
+                toks = text.split(" ")
+                ents: list[int] = []
+                trigs: list[int] = []
+                for i, tk in enumerate(toks):
+                    if tk in ent_set:
+                        ents.append(i)
+                    elif tk in pred_set:
+                        trigs.append(i)
+                if not ents or not trigs:
+                    continue
+                for t in trigs:
+                    ev = toks[t].upper()
+                    lo = bisect_left(ents, t - maxd)
+                    hi = bisect_right(ents, t + maxd, lo)
+                    for a in ents[lo:hi]:
+                        out["conv_id"].append(conv)
+                        out["turn_idx"].append(turn)
+                        out["trigger_ix"].append(t)
+                        out["event_type"].append(ev)
+                        out["arg_start"].append(a)
+                        out["arg_surface"].append(toks[a])
+                        out["role"].append("ARG_BEFORE" if a < t else "ARG_AFTER")
+            pdf_out = pd.DataFrame(out)
+            pdf_out["arg_end"] = pdf_out["arg_start"]
+            yield pdf_out[[
+                "conv_id", "turn_idx", "trigger_ix", "event_type",
+                "arg_start", "arg_end", "arg_surface", "role",
+            ]]
+
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        kernel, schema=_EVENT_ARG_SCHEMA
+    )
+
+
+def event_arguments_expr(
+    turns: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Column-expression twin of :func:`event_arguments` (pre-r7 default),
+    kept for the parity pin."""
     cfg = cfg or PipelineConfig()
     # single-pass array formulation, like relation_triples: one scan, no
     # joins — trigger×argument pairing is turn-local array algebra

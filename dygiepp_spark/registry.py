@@ -2449,9 +2449,31 @@ _ROTATED_TAIL = [
     # stay in-window for the micro-prf family and embedding_ivf_* for the
     # similarity family.)
     "trigger_metrics",
-    "argument_metrics",
-    "multi_trigger_stats",
     "embedding_cosine_topk",
+    # (r7 second pass: the extraction heads moved from HOF array algebra
+    # to batch kernels (extract.relation_triples / ner_mentions /
+    # event_arguments) and the grouped coref path fused its mention
+    # derivation — so every DIRECT consumer of the changed heads rotates
+    # BACK into the window: argument_metrics, multi_trigger_stats,
+    # event_arg_stats, gold_align_relations, gold_align_events,
+    # pair_features. In exchange six queries rotate out, each driver-green
+    # r04+r05+r06 with its own operator function untouched by any r7
+    # change (verified against the round-start tree at function level):
+    # exact_dedup (body unchanged; the dedup kernel work starts below it),
+    # event_triggers (posexplode path untouched; its consumers
+    # trigger_metrics/label_vocab are tail under the r6-established
+    # convention with the changed emitters gated in-window directly),
+    # embedding_near_dup / embedding_ivf_topk / embedding_ivf_fixed
+    # (similarity.py r7 diff touches only dot_topk_local; dot_topk stays
+    # in-window as the changed similarity path), and
+    # multimodal_decode_check (multimodal.py untouched in r7).
+    # All re-verified locally via the full check_gate sweep this round.)
+    "exact_dedup",
+    "event_triggers",
+    "embedding_near_dup",
+    "embedding_ivf_topk",
+    "embedding_ivf_fixed",
+    "multimodal_decode_check",
     # (r6 late: multi_dataset_union rotated out to make window room for
     # the new kg_triangles — driver-green r03+r04+r05, metrics.py F7
     # fan-out untouched this round, re-verified locally via check_gate;
@@ -2476,14 +2498,10 @@ _ROTATED_TAIL = [
     # window — ner_align_counts consumes the rewritten array-form
     # ner_mentions and span_enum_counts now computes the closed-form
     # count, both changed this round)
-    "event_arg_stats",
     "binary_metadata",
     "doc_assembly_offsets",
     "length_guard",
     "doc_split",
-    "gold_align_relations",
-    "gold_align_events",
-    "pair_features",
     "collate_assignment",
     "collate_budget",
     "token_normalize",

@@ -126,3 +126,82 @@ def test_overlap_merge(tiny_turns):
     assert ("A", 1, 6, 6) in got and ("A", 1, 8, 8) in got
     # (B,1): slow query (1,2) absorbs query (2,2)
     assert ("B", 1, 1, 2) in got and ("B", 1, 2, 2) not in got
+
+
+def test_relation_triples_kernel_matches_expr(spark):
+    """r7: relation_triples switched from interpreted HOF array algebra to
+    a mapInPandas batch kernel (guide §4.2). The expression twin is the
+    semantic spec — every emitted row (including dyadic scores) must be
+    bit-identical over an adversarial corpus: empty/NULL text, repeated
+    spaces (empty tokens), predicate adjacency, the max_pair_distance
+    boundary, subjects sharing one earliest predicate, predicate-after-
+    object, multi-predicate turns, and turns with no entities/predicates."""
+    rows = [
+        ("K", 0, "customer join order"),
+        ("K", 1, "customer  join  order"),  # double spaces -> empty tokens
+        ("K", 2, "customer join x x x order"),  # obj exactly at distance 5
+        ("K", 3, "customer join x x x x order"),  # distance 6: no triple
+        ("K", 4, "customer order join"),  # predicate after object: none
+        ("K", 5, "customer join order merge table row"),  # chained pairs
+        ("K", 6, "join merge filter"),  # predicates only
+        ("K", 7, "customer order table"),  # entities only
+        ("K", 8, ""),  # empty text
+        ("K", 9, None),  # NULL text
+        ("L", 0, "customer join join order"),  # earliest-pred tie-break
+        ("L", 1, "key sort value hash vector"),  # two subjects, shared preds
+        ("L", 2, "the customer will join the order table then merge row"),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for cfg in (PipelineConfig(), PipelineConfig(max_pair_distance=2)):
+        kern = extract.relation_triples(turns, cfg).collect()
+        expr = extract.relation_triples_expr(turns, cfg).collect()
+        key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
+        assert sorted(map(key, kern)) == sorted(map(key, expr))
+        assert len(kern) > 0  # the corpus must actually exercise emission
+
+
+def test_ner_mentions_kernel_matches_expr(spark):
+    """r7: ner_mentions kernel/expr parity — same adversarial shapes as the
+    relation sweep plus modifier-specific edges (modifier at end of turn,
+    modifier before non-entity, modifier before modifier, double space
+    between modifier and entity)."""
+    rows = [
+        ("K", 0, "the customer will join the order table"),
+        ("K", 1, "big table then merge row and line"),
+        ("K", 2, "fast"),          # modifier at end: no pair
+        ("K", 3, "fast join"),     # modifier before predicate: no pair
+        ("K", 4, "big fast table"),  # modifier before modifier; fast+table pair
+        ("K", 5, "big  table"),    # double space: empty token breaks the pair
+        ("K", 6, ""),
+        ("K", 7, None),
+        ("K", 8, "slow query big table customer"),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for inc in (True, False):
+        kern = extract.ner_mentions(turns, include_modifier_spans=inc).collect()
+        expr = extract.ner_mentions_expr(turns, include_modifier_spans=inc).collect()
+        key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
+        assert sorted(map(key, kern)) == sorted(map(key, expr))
+        assert len(kern) > 0
+
+
+def test_event_arguments_kernel_matches_expr(spark):
+    """r7: event_arguments kernel/expr parity — window boundary on both
+    sides, trigger at turn edges, multiple triggers sharing arguments."""
+    rows = [
+        ("K", 0, "the customer will join the order table"),
+        ("K", 1, "customer x x x join x x x table"),  # exactly at distance
+        ("K", 2, "customer x x x x join x x x x table"),  # beyond distance
+        ("K", 3, "join customer merge order sort"),  # triggers at both edges
+        ("K", 4, "join merge sort"),  # no entities
+        ("K", 5, "customer order"),   # no triggers
+        ("K", 6, ""),
+        ("K", 7, None),
+    ]
+    turns = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for cfg in (PipelineConfig(), PipelineConfig(max_arg_distance=1)):
+        kern = extract.event_arguments(turns, cfg).collect()
+        expr = extract.event_arguments_expr(turns, cfg).collect()
+        key = lambda r: tuple(r[c] for c in sorted(r.asDict()))
+        assert sorted(map(key, kern)) == sorted(map(key, expr))
+        assert len(kern) > 0
