@@ -406,17 +406,28 @@ def jaccard_counts(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 
 # Measured crossover for the signature-profile persist (re-recorded every
-# round by bench.py near_dup_big / near_dup_small). r7, with the
-# vectorized kernel (the recompute per branch got ~6× cheaper, so the
-# persist's margin shrank but the ORDER is unchanged): at est 1.7 MB
-# (5k docs) no-persist still edges out (2.39 s vs 2.50 s), at est 4.6 MB
-# (20k docs) persist wins 1.4× (1.53 s vs 2.19 s), at ~23 MB (100k docs)
-# 1.2× (2.6 s vs 3.0 s) and the gap grows with corpus size (three kernel
-# recomputes per run without it). 4 MB still sits inside the measured
-# 1.7–4.6 MB crossover gap — threshold re-validated, not moved.
-# (r6 history: pre-kernel the split was 10.2/5.8 s at 5 k and 6.2/13.1 s
-# at 20 k — same winners.)
-PERSIST_AUTO_THRESHOLD_BYTES = 4 * 1024 * 1024
+# round by bench.py near_dup_big / near_dup_small). r7 late
+# re-derivation, after two quiet-host bench runs showed auto (threshold
+# 4 MB) picking the loser at the cached 5 k-doc anchor: alternating A/B
+# (3-4 reps/mode, quiet host) now shows the kernel recompute and the
+# persist within ±15% of each other EVERYWHERE below ~2 MB — cached
+# 5 k docs (est 1.66 MB): persist 1.76 s vs 1.92 s; the SAME corpus
+# file-backed (est 594 KB): persist 2.06 s vs 1.88 s; 500 docs cached
+# (est 166 KB): 1.39 s vs 1.66 s — opposite signs at the same doc
+# count, i.e. the old decisive low-end crossover was a property of the
+# interpreted recompute and is now flat noise. The decisive regimes
+# left are the big ones: est 4.6 MB (20 k docs) persist wins 1.57 s vs
+# 2.27 s, ~23 MB (100 k) 1.73 s vs 3.22 s, growing with corpus size
+# (three kernel recomputes per run without it). Threshold 4 MB → 1 MB:
+# every decisively-measured regime picks its winner, the flat zone
+# splits by estimate (file-backed small corpora recompute, cached ones
+# persist — matching the last two bench anchors at each), and the other
+# consumers of this default (coref_propagation's expression-built
+# mention table, r4-audited no-persist at tiny scale;
+# canonical_merge_increment, A/B 1.72 s vs 1.87 s at sf0.001 — noise)
+# keep their tiny-scale plans. (History: r6 pre-kernel crossover was
+# real and decisive — 10.2/5.8 s at 5 k, 6.2/13.1 s at 20 k.)
+PERSIST_AUTO_THRESHOLD_BYTES = 1024 * 1024
 
 
 def persist_decision(df: DataFrame, threshold_bytes: int = PERSIST_AUTO_THRESHOLD_BYTES) -> tuple[bool, int]:
